@@ -64,6 +64,12 @@ def compress(src: bytes | bytearray | memoryview, acceleration: int = 1,
     pos = 0
 
     if n >= F.MIN_LENGTH:
+        # Last searchable match start is n - MFLIMIT inclusive (the format
+        # allows matches starting up to 12 bytes before the end); the search
+        # loop exits when the *next* forward position passes this limit.
+        # (The reference's kernel-style bound is one position more
+        # conservative, lz4e_compress.c:300-301; we use the exact format
+        # limit, which can only shrink output.)
         mflimit = n - F.MFLIMIT
         matchlimit = n - F.LASTLITERALS
         table = [0] * (1 << hashlog)
@@ -81,7 +87,7 @@ def compress(src: bytes | bytearray | memoryview, acceleration: int = 1,
             found = False
             while True:
                 h = fh
-                if fpos + step > mflimit:
+                if fpos + step > mflimit + 1:
                     break  # -> last literals
                 pos = fpos
                 fpos += step
