@@ -14,6 +14,21 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# The axon TPU plugin (sitecustomize) force-selects jax_platforms="axon,cpu"
+# at interpreter start, overriding the JAX_PLATFORMS env var — pin the CPU
+# backend back before any backend initializes so the suite runs on the
+# simulated 8-device host mesh.
+jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache: repeat suite runs skip recompiles
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/lz4j_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
