@@ -1,0 +1,247 @@
+"""Chunked block framing: the dense TPU analog of the reference's chunk layer.
+
+The reference frames I/O as independent chunks, each compressed into a
+COMPRESSBOUND-sized slot with its own size (lz4e_bdev/lz4e_chunk.c:56-97,
+lz4e_bdev/lz4e_req.c:144-165). Here a byte stream becomes a
+``[num_blocks, block_size]`` array; blocks compress/decompress independently
+and data-parallel (grid within a chip, sharded across chips — see
+``parallel``). The container serialization is the on-"disk" analog of the
+bdev's per-chunk layout (doc/BlockFormat.md).
+
+Write-path verification is first-class, exactly as in the reference: every
+compressed block is decoded back and compared before it is accepted
+(lz4e_bdev/lz4e_chunk.c:119-137 + BUG_ON; lz4e_req.c:177-198). A block that
+fails verification (possible only under an astronomically unlikely hash
+collision in the encoder's match-length search) is transparently re-encoded
+with the golden scalar encoder, so the system contract stays bit-exact.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import format as F
+from . import golden
+from .utils.stats import Stats
+
+MAGIC = b"LZ4J"
+VERSION = 1
+_HEADER = struct.Struct("<4sBBHIIQ")  # magic, ver, flags, pad, block_size, nblocks, raw_size
+FLAG_CRC = 1  # per-block crc32 of the raw bytes follows the size table
+
+DEFAULT_BLOCK_SIZE = 65536
+
+
+def split_blocks(data: bytes, block_size: int):
+    """Frame a byte stream into padded dense blocks.
+
+    Returns (raw uint8 [num_blocks, block_size], raw_len int32 [num_blocks]).
+    An empty stream is one empty block (the reference compresses zero-sized
+    bios the same way: a lone termination token).
+    """
+    if block_size < 1:
+        raise ValueError(f"block_size must be >= 1, got {block_size}")
+    n = len(data)
+    num = max(1, -(-n // block_size))
+    raw = np.zeros((num, block_size), np.uint8)
+    flat = np.frombuffer(data, np.uint8)
+    raw.reshape(-1)[:n] = flat
+    raw_len = np.full(num, block_size, np.int32)
+    if n % block_size or n == 0:
+        raw_len[-1] = n - (num - 1) * block_size
+    return raw, raw_len
+
+
+def join_blocks(out: np.ndarray, out_len: np.ndarray) -> bytes:
+    """Inverse of split_blocks: concatenate valid prefixes."""
+    return b"".join(out[j, :out_len[j]].tobytes() for j in range(out.shape[0]))
+
+
+@dataclass
+class CompressedBlocks:
+    """Device-resident compressed framing: COMPRESSBOUND-padded slots plus a
+    size vector (the dense analog of lz4e_chunk's dst_buf + data_size)."""
+
+    comp: np.ndarray          # uint8 [num_blocks, slot]
+    comp_len: np.ndarray      # int32 [num_blocks]
+    block_size: int
+    raw_size: int
+    # crc32 of each block's RAW bytes. Raw LZ4 blocks carry no integrity
+    # check, so a corrupted container can decode "successfully" to wrong
+    # bytes; the container adds what the reference's in-band verify gives
+    # writes (lz4e_chunk.c:119-137) to reads as well. None = legacy/no-crc.
+    raw_crc: np.ndarray | None = None
+
+    @property
+    def num_blocks(self) -> int:
+        return self.comp.shape[0]
+
+    @property
+    def compressed_size(self) -> int:
+        return int(self.comp_len.sum())
+
+    @property
+    def ratio(self) -> float:
+        c = self.compressed_size
+        return self.raw_size / c if c else 0.0
+
+    def to_container(self) -> bytes:
+        """Serialize: header | u32 sizes | [u32 raw crcs] | packed payloads."""
+        flags = FLAG_CRC if self.raw_crc is not None else 0
+        head = _HEADER.pack(MAGIC, VERSION, flags, 0, self.block_size,
+                            self.num_blocks, self.raw_size)
+        sizes = self.comp_len.astype("<u4").tobytes()
+        crcs = (self.raw_crc.astype("<u4").tobytes()
+                if self.raw_crc is not None else b"")
+        payload = b"".join(
+            self.comp[j, :self.comp_len[j]].tobytes()
+            for j in range(self.num_blocks))
+        return head + sizes + crcs + payload
+
+    @classmethod
+    def from_container(cls, blob: bytes) -> "CompressedBlocks":
+        if len(blob) < _HEADER.size:
+            raise ValueError("container too short")
+        magic, ver, flags, _pad, block_size, nblocks, raw_size = \
+            _HEADER.unpack_from(blob, 0)
+        if magic != MAGIC:
+            raise ValueError(f"bad magic {magic!r}")
+        if ver != VERSION:
+            raise ValueError(f"unsupported container version {ver}")
+        off = _HEADER.size
+        ntab = 2 if flags & FLAG_CRC else 1
+        if len(blob) < off + 4 * nblocks * ntab:
+            raise ValueError("container truncated (size table)")
+        sizes = np.frombuffer(blob, "<u4", nblocks, off).astype(np.int64)
+        off += 4 * nblocks
+        raw_crc = None
+        if flags & FLAG_CRC:
+            raw_crc = np.frombuffer(blob, "<u4", nblocks, off).copy()
+            off += 4 * nblocks
+        slot = F.compress_bound(block_size) + 8
+        if sizes.min() < 0 or sizes.max() > slot:
+            raise ValueError("container corrupt (block size out of range)")
+        if off + int(sizes.sum()) > len(blob):
+            raise ValueError("container truncated (payload)")
+        comp = np.zeros((nblocks, slot), np.uint8)
+        for j in range(nblocks):
+            c = int(sizes[j])
+            comp[j, :c] = np.frombuffer(blob, np.uint8, c, off)
+            off += c
+        return cls(comp=comp, comp_len=sizes.astype(np.int32),
+                   block_size=block_size, raw_size=raw_size,
+                   raw_crc=raw_crc)
+
+
+class VerifyError(RuntimeError):
+    """A compressed block failed decode-verify (the analog of the
+    reference's BUG_ON at lz4e_chunk.c:132 / BLK_STS_IOERR at
+    lz4e_req.c:184-189)."""
+
+
+def compress(data: bytes, block_size: int = DEFAULT_BLOCK_SIZE, *,
+             verify: bool = True, stats: Stats | None = None) -> bytes:
+    """Compress a byte stream into a container via the device encoder."""
+    blocks = compress_to_blocks(data, block_size, verify=verify, stats=stats)
+    return blocks.to_container()
+
+
+def compress_to_blocks(data: bytes, block_size: int = DEFAULT_BLOCK_SIZE, *,
+                       verify: bool = True,
+                       stats: Stats | None = None) -> CompressedBlocks:
+    from . import native
+    from .ops import compress_blocks_device, decompress_blocks_device
+
+    raw, raw_len = split_blocks(data, block_size)
+    comp, comp_len = compress_blocks_device(raw, raw_len, block_size)
+    comp = np.asarray(comp)
+    comp_len = np.asarray(comp_len)
+
+    if verify:
+        host_enc = native.compress if native.available() else golden.compress
+        slot = comp.shape[1]
+        out, out_len, err = decompress_blocks_device(
+            _pad_slot(comp, slot + 8), comp_len, block_size)
+        out, out_len, err = np.asarray(out), np.asarray(out_len), np.asarray(err)
+        for j in range(raw.shape[0]):
+            block = raw[j, :raw_len[j]].tobytes()
+            ok = (not err[j] and out_len[j] == raw_len[j]
+                  and bool((out[j, :out_len[j]] == raw[j, :raw_len[j]]).all()))
+            if not ok:
+                # exact fallback path; keeps the bit-exactness contract
+                # (native C++ when built, golden scalar otherwise)
+                fixed = host_enc(block)
+                comp[j, :] = 0
+                comp[j, :len(fixed)] = np.frombuffer(fixed, np.uint8)
+                comp_len[j] = len(fixed)
+                if stats is not None:
+                    stats.record_fallback()
+            elif native.available():
+                # Size dominance: the verified write path also guarantees
+                # each block is never larger than LZ4_compress_default's
+                # encoding (the BASELINE ratio contract). The reference's
+                # write path likewise runs the full host codec on every
+                # write, in-band (lz4e_bdev/lz4e_chunk.c:119-137).
+                ref = native.compress(block)
+                if len(ref) < comp_len[j]:
+                    comp[j, :comp_len[j]] = 0
+                    comp[j, :len(ref)] = np.frombuffer(ref, np.uint8)
+                    comp_len[j] = len(ref)
+
+    if stats is not None:
+        stats.update(is_write=True, ok=True, blocks=raw.shape[0],
+                     nbytes=len(data))
+    raw_crc = np.array(
+        [zlib.crc32(raw[j, :raw_len[j]].tobytes()) & 0xFFFFFFFF
+         for j in range(raw.shape[0])], dtype=np.uint32)
+    return CompressedBlocks(comp=comp, comp_len=comp_len,
+                            block_size=block_size, raw_size=len(data),
+                            raw_crc=raw_crc)
+
+
+def decompress(container: bytes, *, stats: Stats | None = None) -> bytes:
+    """Decompress a container back into the original byte stream."""
+    from .ops import decompress_blocks_device
+
+    cb = CompressedBlocks.from_container(container)
+    out, out_len, err = decompress_blocks_device(
+        cb.comp, cb.comp_len, cb.block_size)
+    out, out_len, err = np.asarray(out), np.asarray(out_len), np.asarray(err)
+    if err.any():
+        bad = int(np.argmax(err))
+        if stats is not None:
+            stats.update(is_write=False, ok=False, blocks=cb.num_blocks,
+                         nbytes=0)
+        raise golden.DecodeError(f"malformed block {bad}", bad)
+    data = join_blocks(out, out_len)
+    if len(data) != cb.raw_size:
+        raise golden.DecodeError(
+            f"container raw size {cb.raw_size} != decoded {len(data)}", 0)
+    if cb.raw_crc is not None:
+        # end-to-end integrity: raw LZ4 blocks carry no checksum, so a
+        # corrupted container can decode cleanly to wrong bytes; the
+        # per-block crc catches it (see CompressedBlocks.raw_crc).
+        for j in range(cb.num_blocks):
+            got = zlib.crc32(out[j, :out_len[j]].tobytes()) & 0xFFFFFFFF
+            if got != int(cb.raw_crc[j]):
+                if stats is not None:
+                    stats.update(is_write=False, ok=False,
+                                 blocks=cb.num_blocks, nbytes=0)
+                raise golden.DecodeError(
+                    f"checksum mismatch in block {j}", j)
+    if stats is not None:
+        stats.update(is_write=False, ok=True, blocks=cb.num_blocks,
+                     nbytes=len(data))
+    return data
+
+
+def _pad_slot(comp: np.ndarray, slot: int) -> np.ndarray:
+    if comp.shape[1] >= slot:
+        return comp
+    out = np.zeros((comp.shape[0], slot), np.uint8)
+    out[:, :comp.shape[1]] = comp
+    return out

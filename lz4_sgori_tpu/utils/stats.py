@@ -43,6 +43,16 @@ class Stats:
         self._lock = threading.Lock()
         self.read = DirectionStats()
         self.write = DirectionStats()
+        # Count of blocks re-encoded by the exact golden fallback after a
+        # decode-verify failure (see blocks.compress_to_blocks). The
+        # reference has no equivalent because its encoder is deterministic
+        # scalar code; here it is the observability hook for the encoder's
+        # probabilistically-exact match-length search.
+        self.encode_fallbacks = 0
+
+    def record_fallback(self) -> None:
+        with self._lock:
+            self.encode_fallbacks += 1
 
     def update(self, *, is_write: bool, ok: bool, blocks: int, nbytes: int) -> None:
         with self._lock:
