@@ -1,0 +1,107 @@
+"""Sharded codec entry points and the distributed write pipeline.
+
+TPU-native equivalent of the reference's request path (lz4e_bdev/lz4e_req.c):
+the write pipeline compresses, decode-verifies, and accumulates stats — but
+block-parallel across a device mesh instead of synchronously inside one
+kernel thread. Collectives (the NCCL-analog, SURVEY.md §5): ``psum`` for
+global stats over the block axis; compressed sizes and payloads stay sharded
+in original block order, so the ordered "gather" is XLA's output layout, not
+an explicit permutation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import format as F
+from ..ops import compress_blocks_device, decompress_blocks_device
+from .mesh import BLOCK_AXIS
+
+
+def pad_to_multiple(num_blocks: int, n_shards: int) -> int:
+    return -(-num_blocks // n_shards) * n_shards
+
+
+def compress_blocks_sharded(raw, raw_len, block_size: int, mesh: Mesh,
+                            axis: str = BLOCK_AXIS):
+    """Shard-parallel batched encode. num_blocks must divide the mesh size
+    (the host framing layer pads with empty blocks)."""
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(axis)))
+    def local(r, rl):
+        return compress_blocks_device(r, rl, block_size)
+
+    return jax.jit(local)(raw, raw_len)
+
+
+def decompress_blocks_sharded(comp, comp_len, out_size: int, mesh: Mesh,
+                              axis: str = BLOCK_AXIS):
+    """Shard-parallel batched decode."""
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(axis), P(axis)))
+    def local(c, cl):
+        return decompress_blocks_device(c, cl, out_size)
+
+    return jax.jit(local)(comp, comp_len)
+
+
+def write_pipeline_sharded(raw, raw_len, block_size: int, mesh: Mesh,
+                           axis: str = BLOCK_AXIS):
+    """The full write-request pipeline, sharded: compress -> decode-verify ->
+    global stats psum. This is the device analog of lz4e_write_req_init
+    (lz4e_req.c:144-213: SG-compress, verify-decompress, stats update).
+
+    Returns (comp, comp_len, ok, stats) with comp/comp_len/ok sharded over
+    the block axis and stats replicated:
+    stats = [blocks_total, blocks_failed, raw_bytes, comp_bytes] (the analog
+    of the 4 per-direction counters, lz4e_stats.h:17-22, globally reduced).
+    """
+    slot = F.compress_bound(block_size) + 8
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(axis), P(axis), P()))
+    def local(r, rl):
+        comp, clen = compress_blocks_device(r, rl, block_size)
+        padded = jnp.pad(comp, ((0, 0), (0, slot - comp.shape[1])))
+        out, olen, err = decompress_blocks_device(padded, clen, block_size)
+        same = jnp.all(
+            jnp.where(jnp.arange(block_size)[None, :] < rl[:, None],
+                      out == r, True), axis=-1)
+        ok = (~err) & (olen == rl) & same
+        stats = jnp.stack([
+            jnp.sum(jnp.ones_like(rl)),
+            jnp.sum(jnp.where(ok, 0, 1)),
+            jnp.sum(jnp.where(ok, rl, 0)),
+            jnp.sum(jnp.where(ok, clen, 0)),
+        ]).astype(jnp.int32)  # per-step counters; host accumulates in Python ints
+        stats = jax.lax.psum(stats, axis)
+        return comp, clen, ok, stats
+
+    return jax.jit(local)(raw, raw_len)
+
+
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Bring up cross-host DCN communication (jax.distributed). No-op when
+    running single-process. The reference has no multi-node story; this is
+    the framework's scaling path (BASELINE.md: 1 chip -> 1 host -> N hosts).
+    """
+    if num_processes in (None, 1):
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
