@@ -1,0 +1,184 @@
+"""Benchmark harness: device codec GB/s vs the reference-equivalent baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Headline metric: decompress GB/s/chip on a Silesia-like mixed corpus at
+64 KB blocks (BASELINE.json config 1; Silesia itself is unreachable in this
+zero-egress environment, so a deterministic corpus spanning the same
+compressibility regimes stands in). ``vs_baseline`` compares against
+single-core liblz4 decode throughput measured on the same corpus on this
+host — the reference's own speed class, since its codec is stock
+single-threaded LZ4 semantics in kernel C (SURVEY.md §6: the reference
+publishes no numbers).
+
+Timing methodology: on proxied TPU attachments (axon) ``block_until_ready``
+can acknowledge dispatch before execution completes, and bulk device->host
+transfers ride a slow tunnel. Every timed run therefore forces completion
+by fetching a scalar reduction that data-depends on every output, and
+correctness is checked with on-device comparisons plus a host spot-check of
+one sub-batch.
+
+Extra fields record encode GB/s, compression ratio vs `lz4 -1`
+(LZ4_compress_default), and the per-direction breakdown.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BLOCK_SIZE = 65536
+CORPUS_MB = 32
+SUB_BATCH = 32  # blocks per device launch (bounds peak HBM working set and
+                # keeps per-program compile time moderate)
+
+
+def _log(msg: str) -> None:
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def _time_best(fn, iters=5, warmup=1):
+    for _ in range(warmup):
+        fn()
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compile cache: repeat bench runs skip the (multi-minute,
+    # remote on axon) XLA compiles
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/lz4j_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from __graft_entry__ import _synth_corpus
+    from lz4_sgori_tpu.blocks import split_blocks
+    from lz4_sgori_tpu.ops.decode import _decompress_blocks_impl
+    from lz4_sgori_tpu.ops.encode import _compress_blocks_impl
+    from lz4_sgori_tpu.utils import oracle
+
+    data = _synth_corpus(CORPUS_MB << 20)
+    raw_np, rlen_np = split_blocks(data, BLOCK_SIZE)
+    nblocks = raw_np.shape[0]
+    assert nblocks % SUB_BATCH == 0, (nblocks, SUB_BATCH)
+
+    dev = jax.devices()[0]
+    raw_chunks = [
+        (jax.device_put(raw_np[s:s + SUB_BATCH], dev),
+         jax.device_put(rlen_np[s:s + SUB_BATCH], dev))
+        for s in range(0, nblocks, SUB_BATCH)]
+    _log(f"corpus {CORPUS_MB} MiB, {nblocks} blocks of {BLOCK_SIZE}, "
+         f"device {dev}")
+
+    # --- device encode (streamed in sub-batches; one compiled shape) ---
+    def run_encode():
+        outs = [_compress_blocks_impl(r, rl, BLOCK_SIZE)
+                for r, rl in raw_chunks]
+        # force completion of every launch via a scalar that depends on all
+        total = sum(jnp.sum(cl) for _, cl in outs)
+        return outs, int(total)
+
+    _log("compiling + warming encode...")
+    enc_out, comp_total = run_encode()
+    _log("timing encode...")
+    t_enc = _time_best(lambda: run_encode()[1])
+    enc_gbps = len(data) / t_enc / 1e9
+    _log(f"encode {enc_gbps:.3f} GB/s, compressed {comp_total}")
+
+    # keep compressed data on device; spot-check one sub-batch on host
+    comp0 = np.asarray(enc_out[0][0])
+    clen0 = np.asarray(enc_out[0][1])
+    from lz4_sgori_tpu import golden
+    got = golden.decompress(comp0[0, :clen0[0]].tobytes(), BLOCK_SIZE)
+    assert got == data[:BLOCK_SIZE], "encode spot-check failed"
+    _log("encode spot-check ok (golden decode of block 0)")
+
+    # --- device decode (headline) ---
+    slot = enc_out[0][0].shape[1] + 8
+    comp_chunks = [
+        (jnp.pad(c, ((0, 0), (0, slot - c.shape[1]))), cl)
+        for c, cl in enc_out]
+
+    def run_decode():
+        outs = [_decompress_blocks_impl(c, cl, BLOCK_SIZE)
+                for c, cl in comp_chunks]
+        errs = sum(jnp.sum(e) for _, _, e in outs)
+        lens = sum(jnp.sum(ln) for _, ln, _ in outs)
+        return outs, int(errs), int(lens)
+
+    _log("compiling + warming decode...")
+    dec_out, errs, lens = run_decode()
+    assert errs == 0, "bench corpus failed to decode"
+    assert lens == len(data), (lens, len(data))
+    # on-device bit-exactness check against the original raw blocks
+    mismatch = 0
+    for (o, ln, _), (r, rl) in zip(dec_out, raw_chunks):
+        valid = jnp.arange(BLOCK_SIZE)[None, :] < rl[:, None]
+        mismatch += int(jnp.sum(jnp.where(valid, o != r, False)))
+    assert mismatch == 0, f"{mismatch} mismatching bytes"
+    _log("decode verified bit-exact on device")
+    # host spot-check of one sub-batch
+    out0 = np.asarray(dec_out[0][0])
+    assert out0[1, :].tobytes() == data[BLOCK_SIZE:2 * BLOCK_SIZE]
+
+    _log("timing decode...")
+    t_dec = _time_best(lambda: run_decode()[1])
+    dec_gbps = len(data) / t_dec / 1e9
+    _log(f"decode {dec_gbps:.3f} GB/s")
+
+    # --- baseline: single-core liblz4 on the same blocks (the reference's
+    # speed class: stock LZ4 in kernel C, single-threaded) ---
+    base_dec_gbps = base_enc_gbps = None
+    ratio_vs_lz4 = None
+    if oracle.available():
+        blocks_raw = [data[i:i + BLOCK_SIZE]
+                      for i in range(0, len(data), BLOCK_SIZE)]
+        t0 = time.perf_counter()
+        lz4_comps = [oracle.compress(b) for b in blocks_raw]
+        base_enc_gbps = len(data) / (time.perf_counter() - t0) / 1e9
+        t0 = time.perf_counter()
+        for c, b in zip(lz4_comps, blocks_raw):
+            oracle.decompress(c, len(b))
+        base_dec_gbps = len(data) / (time.perf_counter() - t0) / 1e9
+        lz4_total = sum(len(c) for c in lz4_comps)
+        ratio_vs_lz4 = comp_total / lz4_total  # <= 1.0 is the contract
+        _log(f"liblz4 baseline: encode {base_enc_gbps:.3f} GB/s, "
+             f"decode {base_dec_gbps:.3f} GB/s, size ratio {ratio_vs_lz4:.4f}")
+
+    vs_baseline = (dec_gbps / base_dec_gbps) if base_dec_gbps else None
+    print(json.dumps({
+        "metric": "decompress_gbps_silesia_like_64k_blocks",
+        "value": round(dec_gbps, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(vs_baseline, 4) if vs_baseline else None,
+        "device": str(dev),
+        "corpus_mb": CORPUS_MB,
+        "encode_gbps": round(enc_gbps, 4),
+        "encode_vs_lz4": (round(enc_gbps / base_enc_gbps, 4)
+                          if base_enc_gbps else None),
+        "ratio": round(len(data) / comp_total, 4),
+        "compressed_size_vs_lz4": (round(ratio_vs_lz4, 4)
+                                   if ratio_vs_lz4 else None),
+        "baseline_liblz4_decode_gbps": (round(base_dec_gbps, 4)
+                                        if base_dec_gbps else None),
+    }))
+
+
+if __name__ == "__main__":
+    main()
