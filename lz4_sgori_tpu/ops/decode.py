@@ -117,11 +117,15 @@ def _sequence_chain(nxt: jax.Array, terminal: jax.Array, s_max: int):
 
 
 def decompress_blocks_device(comp, comp_len, out_size: int,
-                             max_sequences: int | None = None):
-    """Batch-bucketing wrapper around the jitted decode: pads the block
+                             max_sequences: int | None = None,
+                             impl: str = "auto"):
+    """Batch-bucketing wrapper around the device decode: pads the block
     count to the next power of two (with valid empty blocks) so recurring
-    calls hit a small set of compiled shapes, then trims. See
-    ``_decompress_blocks_impl`` for the actual program."""
+    calls hit a small set of compiled shapes, then trims.
+
+    impl: "auto" picks the Pallas TPU kernel on a TPU backend and the
+    portable XLA program elsewhere; "pallas"/"xla" force one.
+    """
     comp = jnp.asarray(comp)
     comp_len = jnp.asarray(comp_len)
     nb = comp.shape[0]
@@ -130,8 +134,14 @@ def decompress_blocks_device(comp, comp_len, out_size: int,
         comp = jnp.pad(comp, ((0, nbp - nb), (0, 0)))
         # a zero byte is a valid empty terminal block
         comp_len = jnp.pad(comp_len, (0, nbp - nb), constant_values=1)
-    out, out_len, err = _decompress_blocks_impl(
-        comp, comp_len, out_size, max_sequences)
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() == "tpu")
+    if use_pallas:
+        from .pallas import decompress_blocks_pallas
+        out, out_len, err = decompress_blocks_pallas(comp, comp_len, out_size)
+    else:
+        out, out_len, err = _decompress_blocks_impl(
+            comp, comp_len, out_size, max_sequences)
     if nbp != nb:
         out, out_len, err = out[:nb], out_len[:nb], err[:nb]
     return out, out_len, err
