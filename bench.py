@@ -69,7 +69,7 @@ def main() -> None:
 
     from __graft_entry__ import _synth_corpus
     from lz4_sgori_tpu.blocks import split_blocks
-    from lz4_sgori_tpu.ops.decode import _decompress_blocks_impl
+    from lz4_sgori_tpu.ops.decode import decompress_blocks_device
     from lz4_sgori_tpu.ops.encode import _compress_blocks_impl
     from lz4_sgori_tpu.utils import oracle
 
@@ -97,7 +97,9 @@ def main() -> None:
     _log("compiling + warming encode...")
     enc_out, comp_total = run_encode()
     _log("timing encode...")
-    t_enc = _time_best(lambda: run_encode()[1])
+    # encode is the known-slow gather-formulated path on TPU (see
+    # docs/Performance.md); one timed pass is plenty of precision
+    t_enc = _time_best(lambda: run_encode()[1], iters=1, warmup=0)
     enc_gbps = len(data) / t_enc / 1e9
     _log(f"encode {enc_gbps:.3f} GB/s, compressed {comp_total}")
 
@@ -116,7 +118,8 @@ def main() -> None:
         for c, cl in enc_out]
 
     def run_decode():
-        outs = [_decompress_blocks_impl(c, cl, BLOCK_SIZE)
+        # decompress_blocks_device auto-selects the Pallas kernel on TPU
+        outs = [decompress_blocks_device(c, cl, BLOCK_SIZE)
                 for c, cl in comp_chunks]
         errs = sum(jnp.sum(e) for _, _, e in outs)
         lens = sum(jnp.sum(ln) for _, ln, _ in outs)

@@ -144,20 +144,28 @@ class VerifyError(RuntimeError):
 
 
 def compress(data: bytes, block_size: int = DEFAULT_BLOCK_SIZE, *,
-             verify: bool = True, stats: Stats | None = None) -> bytes:
-    """Compress a byte stream into a container via the device encoder."""
-    blocks = compress_to_blocks(data, block_size, verify=verify, stats=stats)
+             verify: bool = True, stats: Stats | None = None,
+             match_depth: int = 3) -> bytes:
+    """Compress a byte stream into a container via the device encoder.
+
+    ``match_depth`` is the ratio/speed knob: the number of prior
+    occurrences evaluated per position (the hash-chain-depth analog of an
+    HC mode; 3 = default level-1-beating setting, 8+ = deep-match mode).
+    """
+    blocks = compress_to_blocks(data, block_size, verify=verify, stats=stats,
+                                match_depth=match_depth)
     return blocks.to_container()
 
 
 def compress_to_blocks(data: bytes, block_size: int = DEFAULT_BLOCK_SIZE, *,
-                       verify: bool = True,
-                       stats: Stats | None = None) -> CompressedBlocks:
+                       verify: bool = True, stats: Stats | None = None,
+                       match_depth: int = 3) -> CompressedBlocks:
     from . import native
     from .ops import compress_blocks_device, decompress_blocks_device
 
     raw, raw_len = split_blocks(data, block_size)
-    comp, comp_len = compress_blocks_device(raw, raw_len, block_size)
+    comp, comp_len = compress_blocks_device(raw, raw_len, block_size,
+                                            match_depth=match_depth)
     comp = np.asarray(comp)
     comp_len = np.asarray(comp_len)
 

@@ -29,6 +29,9 @@ class CodecConfig:
 
     block_size: int = 65536
     acceleration: int = F.ACCELERATION_DEFAULT
+    # prior occurrences evaluated per position; the hash-chain-depth analog
+    # of the reference's (stubbed) HC ambitions — 8+ = deep-match mode
+    match_depth: int = 3
     verify_writes: bool = True
     max_sequences: int | None = None
     mesh_axis: str = "blocks"

@@ -188,11 +188,7 @@ def _decode_kernel(clen_ref, comp_ref, words_ref, out_ref, smem_ref, sem, *,
 
         err = err | (ip + lit > clen) | (op + lit > n)
         lit_s = jnp.clip(lit, 0, jnp.minimum(clen - ip, n - op))
-
-        @pl.when(lit_s > 0)
-        def _():
-            _copy_bytes(out_ref, op, comp_ref, ip, lit_s, cmax, omax)
-
+        _copy_bytes(out_ref, op, comp_ref, ip, lit_s, cmax, omax)
         ip = ip + lit
         op = op + lit
 
@@ -214,13 +210,14 @@ def _decode_kernel(clen_ref, comp_ref, words_ref, out_ref, smem_ref, sem, *,
         live = (~done) & (~err)
         ml_s = jnp.where(live, ml, 0)
 
-        @pl.when((off >= LANES) & (ml_s > 0))
-        def _():
-            _copy_bytes(out_ref, op, out_ref, op - off, ml_s, omax, omax)
+        far_len = jnp.where(off >= LANES, ml_s, 0)
+        _copy_bytes(out_ref, op, out_ref, op - off, far_len, omax, omax)
+        near_len = jnp.where(off < LANES, ml_s, 0)
 
-        @pl.when((off < LANES) & (ml_s > 0))
-        def _():
-            _copy_overlap(out_ref, op, op, jnp.maximum(off, 1), ml_s, omax)
+        # the pattern path's per-call setup is only worth skipping when no
+        # near match; pl.when here measured slower AND bloated compile —
+        # keep it branch-free
+        _copy_overlap(out_ref, op, op, jnp.maximum(off, 1), near_len, omax)
 
         ip = jnp.where(done, ip, ip_m)
         op = op + jnp.where(done, 0, ml)
@@ -248,10 +245,20 @@ def _rows_for(nbytes: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("out_size", "interpret"))
-def _decode_pallas_jit(comp_rows_i32, comp_words_i32, comp_len,
-                       out_size: int, interpret: bool = False):
-    nblocks, comp_rows, _ = comp_rows_i32.shape
-    word_rows = comp_words_i32.shape[1]
+def _decode_pallas_jit(comp, comp_len, out_size: int,
+                       interpret: bool = False):
+    nblocks, slot = comp.shape
+    comp_rows = _rows_for(slot)
+    word_rows = -(-(-(-comp_rows // 4)) // 8) * 8  # 8-row aligned
+    nbytes = word_rows * 4 * LANES
+    padded = jnp.zeros((nblocks, nbytes), jnp.uint8)
+    padded = jax.lax.dynamic_update_slice(padded, comp, (0, 0))
+    comp_rows_i32 = padded[:, :comp_rows * LANES].reshape(
+        nblocks, comp_rows, LANES).astype(jnp.int32)
+    quads = padded.reshape(nblocks, word_rows * LANES, 4).astype(jnp.int32)
+    comp_words_i32 = (
+        quads[..., 0] | (quads[..., 1] << 8) | (quads[..., 2] << 16)
+        | (quads[..., 3] << 24)).reshape(nblocks, word_rows, LANES)
     out_rows = _rows_for(out_size)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -275,7 +282,7 @@ def _decode_pallas_jit(comp_rows_i32, comp_words_i32, comp_len,
     kernel = functools.partial(_decode_kernel, out_size=out_size,
                                comp_rows=comp_rows, word_rows=word_rows,
                                out_rows=out_rows)
-    [out] = pl.pallas_call(
+    [raw] = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -283,7 +290,9 @@ def _decode_pallas_jit(comp_rows_i32, comp_words_i32, comp_len,
         ],
         interpret=interpret,
     )(comp_len.astype(jnp.int32), comp_rows_i32, comp_words_i32)
-    return out, out[:, out_rows - 1, 0], out[:, out_rows - 1, 1]
+    out = raw.astype(jnp.uint8).reshape(nblocks, out_rows * LANES)
+    return (out[:, :out_size], raw[:, out_rows - 1, 0],
+            raw[:, out_rows - 1, 1] != 0)
 
 
 def decompress_blocks_pallas(comp, comp_len, out_size: int,
@@ -293,24 +302,7 @@ def decompress_blocks_pallas(comp, comp_len, out_size: int,
     Same contract as ops.decompress_blocks_device: comp uint8
     [num_blocks, slot], comp_len int32, returns (out uint8
     [num_blocks, out_size], out_len int32, err bool). ``interpret`` runs
-    the kernel in the Pallas interpreter (CPU testing).
-    """
-    comp = jnp.asarray(comp)
-    comp_len = jnp.asarray(comp_len)
-    nblocks, slot = comp.shape
-    comp_rows = _rows_for(slot)
-    word_rows = -(-(-(-comp_rows // 4)) // 8) * 8  # 8-row aligned
-    nbytes = word_rows * 4 * LANES
-    padded = jnp.zeros((nblocks, nbytes), jnp.uint8)
-    padded = jax.lax.dynamic_update_slice(padded, comp, (0, 0))
-    comp_i32 = padded[:, :comp_rows * LANES].reshape(
-        nblocks, comp_rows, LANES).astype(jnp.int32)
-    quads = padded.reshape(nblocks, word_rows * LANES, 4).astype(jnp.int32)
-    words = (quads[..., 0] | (quads[..., 1] << 8) | (quads[..., 2] << 16)
-             | (quads[..., 3] << 24)).reshape(nblocks, word_rows, LANES)
-
-    out_i32, out_len, err = _decode_pallas_jit(comp_i32, words, comp_len,
-                                               out_size, interpret)
-    out_rows = out_i32.shape[1]
-    out = out_i32.astype(jnp.uint8).reshape(nblocks, out_rows * LANES)
-    return out[:, :out_size], out_len, err != 0
+    the kernel in the Pallas interpreter (CPU testing). Everything —
+    repacking, kernel, unpacking — is one jitted program (one launch)."""
+    return _decode_pallas_jit(jnp.asarray(comp), jnp.asarray(comp_len),
+                              out_size, interpret)
