@@ -70,7 +70,7 @@ def main() -> None:
     from __graft_entry__ import _synth_corpus
     from lz4_sgori_tpu.blocks import split_blocks
     from lz4_sgori_tpu.ops.decode import decompress_blocks_device
-    from lz4_sgori_tpu.ops.encode import _compress_blocks_impl
+    from lz4_sgori_tpu.ops.encode import compress_blocks_device
     from lz4_sgori_tpu.utils import oracle
 
     data = _synth_corpus(CORPUS_MB << 20)
@@ -86,9 +86,10 @@ def main() -> None:
     _log(f"corpus {CORPUS_MB} MiB, {nblocks} blocks of {BLOCK_SIZE}, "
          f"device {dev}")
 
-    # --- device encode (streamed in sub-batches; one compiled shape) ---
+    # --- device encode (streamed in sub-batches; one compiled shape;
+    # compress_blocks_device auto-selects the Pallas kernel on TPU) ---
     def run_encode():
-        outs = [_compress_blocks_impl(r, rl, BLOCK_SIZE)
+        outs = [compress_blocks_device(r, rl, BLOCK_SIZE)
                 for r, rl in raw_chunks]
         # force completion of every launch via a scalar that depends on all
         total = sum(jnp.sum(cl) for _, cl in outs)
@@ -97,9 +98,7 @@ def main() -> None:
     _log("compiling + warming encode...")
     enc_out, comp_total = run_encode()
     _log("timing encode...")
-    # encode is the known-slow gather-formulated path on TPU (see
-    # docs/Performance.md); one timed pass is plenty of precision
-    t_enc = _time_best(lambda: run_encode()[1], iters=1, warmup=0)
+    t_enc = _time_best(lambda: run_encode()[1], iters=3, warmup=0)
     enc_gbps = len(data) / t_enc / 1e9
     _log(f"encode {enc_gbps:.3f} GB/s, compressed {comp_total}")
 
@@ -164,6 +163,22 @@ def main() -> None:
         _log(f"liblz4 baseline: encode {base_enc_gbps:.3f} GB/s, "
              f"decode {base_dec_gbps:.3f} GB/s, size ratio {ratio_vs_lz4:.4f}")
 
+    # deep-match mode ratio (the XLA depth-3 encoder; slow on TPU, so a
+    # 4 MiB sample): demonstrates the ratio headroom beyond exact
+    # LZ4_compress_default parity
+    deep_ratio = None
+    if oracle.available():
+        from lz4_sgori_tpu.ops.encode import _compress_blocks_impl
+        _, dclen = _compress_blocks_impl(
+            raw_chunks[0][0], raw_chunks[0][1], BLOCK_SIZE, 3)
+        deep_total = int(jnp.sum(dclen))
+        lz4_sample = sum(len(oracle.compress(
+            data[i * BLOCK_SIZE:(i + 1) * BLOCK_SIZE]))
+            for i in range(SUB_BATCH))
+        deep_ratio = deep_total / lz4_sample
+        _log(f"deep-match (depth 3) size vs lz4 on {SUB_BATCH} blocks: "
+             f"{deep_ratio:.4f}")
+
     vs_baseline = (dec_gbps / base_dec_gbps) if base_dec_gbps else None
     print(json.dumps({
         "metric": "decompress_gbps_silesia_like_64k_blocks",
@@ -178,6 +193,8 @@ def main() -> None:
         "ratio": round(len(data) / comp_total, 4),
         "compressed_size_vs_lz4": (round(ratio_vs_lz4, 4)
                                    if ratio_vs_lz4 else None),
+        "deep_match_size_vs_lz4": (round(deep_ratio, 4)
+                                   if deep_ratio else None),
         "baseline_liblz4_decode_gbps": (round(base_dec_gbps, 4)
                                         if base_dec_gbps else None),
     }))

@@ -169,10 +169,17 @@ def _backward_runs(b, prev):
 
 
 def compress_blocks_device(raw, raw_len, block_size: int,
-                           match_depth: int = 3):
-    """Batch-bucketing wrapper around the jitted encode: pads the block
+                           match_depth: int = 3, impl: str = "auto"):
+    """Batch-bucketing wrapper around the device encode: pads the block
     count to the next power of two (with empty blocks) so recurring calls
-    hit a small set of compiled shapes, then trims."""
+    hit a small set of compiled shapes, then trims.
+
+    impl: "auto" picks the Pallas TPU kernel (reference-exact greedy
+    level-1; byte parity with LZ4_compress_default for blocks <= 64 KiB)
+    on a TPU backend and the portable XLA program elsewhere. The XLA
+    program is also the deep-match engine: "xla" + match_depth >= 4
+    evaluates that many candidate occurrences per position.
+    """
     raw = jnp.asarray(raw)
     raw_len = jnp.asarray(raw_len)
     nb = raw.shape[0]
@@ -180,8 +187,14 @@ def compress_blocks_device(raw, raw_len, block_size: int,
     if nbp != nb:
         raw = jnp.pad(raw, ((0, nbp - nb), (0, 0)))
         raw_len = jnp.pad(raw_len, (0, nbp - nb))
-    comp, comp_len = _compress_blocks_impl(raw, raw_len, block_size,
-                                           match_depth)
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() == "tpu")
+    if use_pallas:
+        from .pallas.encode_kernel import compress_blocks_pallas
+        comp, comp_len = compress_blocks_pallas(raw, raw_len, block_size)
+    else:
+        comp, comp_len = _compress_blocks_impl(raw, raw_len, block_size,
+                                               match_depth)
     if nbp != nb:
         comp, comp_len = comp[:nb], comp_len[:nb]
     return comp, comp_len
