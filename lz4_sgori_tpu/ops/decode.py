@@ -134,8 +134,13 @@ def decompress_blocks_device(comp, comp_len, out_size: int,
         comp = jnp.pad(comp, ((0, nbp - nb), (0, 0)))
         # a zero byte is a valid empty terminal block
         comp_len = jnp.pad(comp_len, (0, nbp - nb), constant_values=1)
+    # the kernel's SMEM mirrors bound the block size it can decode;
+    # larger blocks (the 4 KB-4 MB envelope's upper end) use the portable
+    # XLA program
+    from .pallas.decode_kernel import PALLAS_MAX_BLOCK
     use_pallas = impl == "pallas" or (
-        impl == "auto" and jax.default_backend() == "tpu")
+        impl == "auto" and jax.default_backend() == "tpu"
+        and out_size <= PALLAS_MAX_BLOCK)
     if use_pallas:
         from .pallas import decompress_blocks_pallas
         out, out_len, err = decompress_blocks_pallas(comp, comp_len, out_size)

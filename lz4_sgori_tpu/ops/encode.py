@@ -187,8 +187,12 @@ def compress_blocks_device(raw, raw_len, block_size: int,
     if nbp != nb:
         raw = jnp.pad(raw, ((0, nbp - nb), (0, 0)))
         raw_len = jnp.pad(raw_len, (0, nbp - nb))
+    # SMEM mirrors bound the kernel's block size; larger blocks use the
+    # portable XLA program (which is also the only match_depth > 1 engine)
+    from .pallas.encode_kernel import PALLAS_MAX_BLOCK
     use_pallas = impl == "pallas" or (
-        impl == "auto" and jax.default_backend() == "tpu")
+        impl == "auto" and jax.default_backend() == "tpu"
+        and block_size <= PALLAS_MAX_BLOCK)
     if use_pallas:
         from .pallas.encode_kernel import compress_blocks_pallas
         comp, comp_len = compress_blocks_pallas(raw, raw_len, block_size)

@@ -37,6 +37,9 @@ from .encode_kernel import (_copy_literals, _oput32, _oput_byte, _sbyte,
                             _sread32, _srl, _wrows)
 
 LANES = 128
+# Largest block the all-SMEM kernel handles: the compressed-stream and
+# output word mirrors must both fit SMEM (~168 KB verified on v5e).
+PALLAS_MAX_BLOCK = 65536
 
 
 def _read_lsic(sref, ip, wmax, enabled):

@@ -32,6 +32,10 @@ from ... import format as F
 LANES = 128
 _HASHLOG = 13  # golden's small-input configuration (byte parity <= 64 KiB)
 _TABLE_ROWS = (1 << _HASHLOG) // LANES  # 64
+# Largest block the all-SMEM kernel handles: source mirror + output
+# buffer + hash table must fit SMEM (~168 KB verified on v5e). Also the
+# byte-parity bound: golden switches to hash5 above SMALL_INPUT_LIMIT.
+PALLAS_MAX_BLOCK = 65536
 
 
 def _srl(x, n):
