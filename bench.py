@@ -179,6 +179,46 @@ def main() -> None:
         _log(f"deep-match (depth 3) size vs lz4 on {SUB_BATCH} blocks: "
              f"{deep_ratio:.4f}")
 
+    # --- secondary config: bdev-style 4 KiB chunks, zero/random mix
+    # (BASELINE.json config 3) ---
+    rng = np.random.RandomState(77)
+    chunks = []
+    for _ in range(1024):  # 4 MiB
+        if rng.rand() < 0.5:
+            chunks.append(np.zeros(4096, np.uint8))
+        else:
+            chunks.append(rng.randint(0, 256, 4096).astype(np.uint8))
+    raw4 = np.stack(chunks)
+    rlen4 = np.full(1024, 4096, np.int32)
+    sub = 128
+    chunks4 = [(jax.device_put(raw4[s:s + sub], dev),
+                jax.device_put(rlen4[s:s + sub], dev))
+               for s in range(0, 1024, sub)]
+
+    def run_enc4():
+        outs = [compress_blocks_device(r, rl, 4096) for r, rl in chunks4]
+        return outs, int(sum(jnp.sum(cl) for _, cl in outs))
+
+    _log("4k-chunk config: encode...")
+    enc4, total4 = run_enc4()
+    t_enc4 = _time_best(lambda: run_enc4()[1], iters=3, warmup=0)
+    slot4 = enc4[0][0].shape[1] + 8
+    dchunks4 = [(jnp.pad(c, ((0, 0), (0, slot4 - c.shape[1]))), cl)
+                for c, cl in enc4]
+
+    def run_dec4():
+        outs = [decompress_blocks_device(c, cl, 4096) for c, cl in dchunks4]
+        return (int(sum(jnp.sum(e) for _, _, e in outs)),
+                int(sum(jnp.sum(ln) for _, ln, _ in outs)))
+
+    errs4, lens4 = run_dec4()
+    assert errs4 == 0 and lens4 == raw4.size, (errs4, lens4)
+    t_dec4 = _time_best(lambda: run_dec4()[0])
+    enc4_gbps = raw4.size / t_enc4 / 1e9
+    dec4_gbps = raw4.size / t_dec4 / 1e9
+    _log(f"4k-chunk mix: encode {enc4_gbps:.3f} GB/s, "
+         f"decode {dec4_gbps:.3f} GB/s, ratio {raw4.size / total4:.3f}")
+
     vs_baseline = (dec_gbps / base_dec_gbps) if base_dec_gbps else None
     print(json.dumps({
         "metric": "decompress_gbps_silesia_like_64k_blocks",
@@ -197,6 +237,9 @@ def main() -> None:
                                    if deep_ratio else None),
         "baseline_liblz4_decode_gbps": (round(base_dec_gbps, 4)
                                         if base_dec_gbps else None),
+        "bdev_4k_mix_encode_gbps": round(enc4_gbps, 4),
+        "bdev_4k_mix_decode_gbps": round(dec4_gbps, 4),
+        "bdev_4k_mix_ratio": round(raw4.size / total4, 4),
     }))
 
 
