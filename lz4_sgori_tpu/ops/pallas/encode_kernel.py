@@ -217,36 +217,32 @@ def _encode_kernel(rlen_ref, src_words_ref, zeros_ref, out_ref,
     def body(carry):
         pos, fh, anchor, opos, _running = carry
 
-        # --- skip-accelerated search (lz4e_compress.c:291-336) ---
+        # --- skip-accelerated search (lz4e_compress.c:291-336); the
+        # exhaustion bound lives in the loop condition so the body is
+        # select-free (scalar-op count is the kernel's cost unit) ---
         def s_cond(c):
-            return c[7] == 0  # neither found nor exhausted
+            _pos, fpos, step, _smn, _fh, _mpos, found = c
+            return (found == 0) & (fpos + step <= mflimit + 1)
 
         def s_body(c):
-            pos, fpos, step, smn, fh, mpos, found, stop = c
+            _pos, fpos, step, smn, fh, _mpos, _found = c
             h = fh
-            exhausted = fpos + step > mflimit + 1
-            pos2 = jnp.where(exhausted, pos, fpos)
-            fpos2 = fpos + jnp.where(exhausted, 0, step)
+            pos2 = fpos
+            fpos2 = fpos + step
             step2 = _srl(smn, F.SKIPTRIGGER)
             smn2 = smn + 1
-            mpos2 = jnp.where(exhausted, mpos, _tget(tbl, h))
-            fh2 = jnp.where(exhausted, fh,
-                            _hash4(_sread32(sref, fpos2, swmax)))
-
-            @pl.when(~exhausted)
-            def _():
-                _tput(tbl, h, pos2)
-
-            hit = (~exhausted) & (mpos2 + F.DISTANCE_MAX >= pos2) & \
+            mpos2 = _tget(tbl, h)
+            fh2 = _hash4(_sread32(sref, fpos2, swmax))
+            _tput(tbl, h, pos2)
+            hit = (mpos2 + F.DISTANCE_MAX >= pos2) & \
                 (_sread32(sref, mpos2, swmax) == _sread32(sref, pos2, swmax))
-            found2 = jnp.where(hit, 1, 0)
-            stop2 = jnp.where(exhausted | hit, 1, 0)
-            return (pos2, fpos2, step2, smn2, fh2, mpos2, found2, stop2)
+            return (pos2, fpos2, step2, smn2, fh2, mpos2,
+                    jnp.where(hit, 1, 0))
 
-        (pos, _f, _s, _n2, fh, mpos, found, _st) = jax.lax.while_loop(
+        (pos, _f, _s, _n2, fh, mpos, found) = jax.lax.while_loop(
             s_cond, s_body,
             (pos, pos, jnp.int32(1), jnp.int32(1 << F.SKIPTRIGGER), fh,
-             jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+             jnp.int32(0), jnp.int32(0)))
 
         def no_match(args):
             pos, fh, anchor, opos = args
