@@ -33,8 +33,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ... import format as F
-from .encode_kernel import (_copy_literals, _oput32, _oput_byte, _sbyte,
-                            _sread32, _srl, _wrows)
+from .encode_kernel import (_copy_literals, _oput32, _oput_byte,
+                            _oput_partial, _sbyte, _sread32, _srl, _wrows)
 
 LANES = 128
 # Largest block the all-SMEM kernel handles: the compressed-stream and
@@ -85,17 +85,9 @@ def _copy_match(oref, dpos, off, length, owmax):
         return k + 4, 0
 
     k, _ = jax.lax.while_loop(wcond, wbody, (k, jnp.int32(0)))
-
-    def bcond(c):
-        return c[0] < length
-
-    def bbody(c):
-        k, _ = c
-        _oput_byte(oref, dpos + k, _sread_byte_out(oref, dpos + k - d,
-                                                   owmax))
-        return k + 1, 0
-
-    jax.lax.while_loop(bcond, bbody, (k, jnp.int32(0)))
+    # masked tail (source words are >= 4 bytes behind, fully materialized)
+    _oput_partial(oref, dpos + k, _sread32(oref, dpos + k - d, owmax),
+                  length - k)
 
 
 def _sread_byte_out(oref, pos, wmax):

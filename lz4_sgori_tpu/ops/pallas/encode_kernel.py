@@ -104,6 +104,13 @@ def _oput32(oref, pos, v):
     oref[r1, l1] = oref[r1, l1] | spill
 
 
+def _oput_partial(oref, pos, v, nbytes):
+    """Append the low `nbytes` (0..3) bytes of v — the masked tail that
+    replaces a byte-at-a-time loop."""
+    mask = jax.lax.shift_left(jnp.int32(1), nbytes * 8) - 1
+    _oput32(oref, pos, v & mask)
+
+
 def _emit_lsic(oref, opos, rem, enabled):
     """Emit LSIC extension when `enabled`: (rem // 255) 0xFF bytes then
     rem % 255. Pure no-op otherwise (callers cannot branch around side
@@ -128,7 +135,7 @@ def _emit_lsic(oref, opos, rem, enabled):
 
 
 def _copy_literals(oref, opos, sref, spos, length, wmax):
-    """Append `length` source bytes: word loop + byte tail."""
+    """Append `length` source bytes: word loop + masked tail."""
 
     def wcond(c):
         return c[0] + 4 <= length
@@ -139,16 +146,7 @@ def _copy_literals(oref, opos, sref, spos, length, wmax):
         return k + 4, 0
 
     k, _ = jax.lax.while_loop(wcond, wbody, (jnp.int32(0), jnp.int32(0)))
-
-    def bcond(c):
-        return c[0] < length
-
-    def bbody(c):
-        k, _ = c
-        _oput_byte(oref, opos + k, _sbyte(sref, spos + k, wmax))
-        return k + 1, 0
-
-    jax.lax.while_loop(bcond, bbody, (k, jnp.int32(0)))
+    _oput_partial(oref, opos + k, _sread32(sref, spos + k, wmax), length - k)
     return opos + length
 
 
