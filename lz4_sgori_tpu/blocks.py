@@ -112,6 +112,13 @@ class CompressedBlocks:
             raise ValueError(f"bad magic {magic!r}")
         if ver != VERSION:
             raise ValueError(f"unsupported container version {ver}")
+        # range-check header fields before any allocation sized from them:
+        # a malicious header must not force multi-GB np.zeros (the size
+        # table length check below additionally bounds nblocks by len(blob))
+        if not (1 <= block_size <= F.MAX_INPUT_SIZE):
+            raise ValueError(f"container corrupt (block_size {block_size})")
+        if nblocks < 0 or raw_size < 0 or raw_size > nblocks * block_size:
+            raise ValueError("container corrupt (block count / raw size)")
         off = _HEADER.size
         ntab = 2 if flags & FLAG_CRC else 1
         if len(blob) < off + 4 * nblocks * ntab:

@@ -220,13 +220,18 @@ int lz4j_decompress_safe(const uint8_t* src, uint8_t* dst, int src_size,
     const int token = *ip++;
 
     // literal length
-    int lit_len = token >> kMlBits;
+    // LSIC lengths accumulate in int64_t: a malicious 0xFF chain would wrap
+    // a 32-bit accumulator (UB) and defeat the bound checks below. Any
+    // length beyond dst_cap is invalid regardless, so fail as soon as it is
+    // exceeded — int64_t cannot wrap first (<= 255 per extension byte).
+    int64_t lit_len = token >> kMlBits;
     if (lit_len == kRunMask) {
       int b;
       do {
         if (ip >= iend) return -static_cast<int>(ip - src) - 1;
         b = *ip++;
         lit_len += b;
+        if (lit_len > dst_cap) return -static_cast<int>(ip - src) - 1;
       } while (b == 255);
     }
     if (ip + lit_len > iend) return -static_cast<int>(ip - src) - 1;
@@ -245,13 +250,15 @@ int lz4j_decompress_safe(const uint8_t* src, uint8_t* dst, int src_size,
     if (offset == 0 || match < dst) return -static_cast<int>(ip - src) - 1;
 
     // match length
-    int ml = (token & kMlMask) + kMinMatch;
+    // same int64_t LSIC overflow guard as the literal-length loop above
+    int64_t ml = (token & kMlMask) + kMinMatch;
     if ((token & kMlMask) == kMlMask) {
       int b;
       do {
         if (ip >= iend) return -static_cast<int>(ip - src) - 1;
         b = *ip++;
         ml += b;
+        if (ml > dst_cap) return -static_cast<int>(ip - src) - 1;
       } while (b == 255);
     }
     if (op + ml > oend) return -static_cast<int>(ip - src) - 1;

@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import format as F
-from .primitives import exclusive_cumsum, le_word, segment_ids, shift_left, take1
+from .primitives import exclusive_cumsum, le_word, segment_ids, take1
 
 # Two independent odd multipliers for the polynomial range hashes.
 _HA = (0x9E3779B1, 0x85EBCA77)

@@ -131,8 +131,12 @@ def _decode_kernel(clen_ref, words_ref, zeros_ref, out_ref, sref, oref,
         err = jnp.where(bad_lit, 1, err)
         lit_s = jnp.clip(lit, 0, jnp.minimum(clen - ip, n - op))
         _copy_literals(oref, op, sref, ip, lit_s, swmax)
-        ip = ip + lit
-        op = op + lit
+        # advance by the *clipped* length: on the err path the loop exits
+        # after this iteration, and every helper below indexes from ip/op —
+        # unclipped advances would push _copy_match's writes past the SMEM
+        # mirror (out-of-bounds on hardware; interpret mode masks it)
+        ip = ip + lit_s
+        op = op + lit_s
 
         done = jnp.where(ip == clen, 1, 0)  # literal-only terminal sequence
 

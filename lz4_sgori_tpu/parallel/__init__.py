@@ -12,4 +12,4 @@ ICI/DCN.
 
 from .mesh import make_mesh  # noqa: F401
 from .dist import (compress_blocks_sharded, decompress_blocks_sharded,  # noqa: F401
-                   write_pipeline_sharded, initialize_multihost)
+                   write_pipeline_sharded, initialize_multihost, stats_totals)

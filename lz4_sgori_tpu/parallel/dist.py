@@ -63,8 +63,13 @@ def write_pipeline_sharded(raw, raw_len, block_size: int, mesh: Mesh,
 
     Returns (comp, comp_len, ok, stats) with comp/comp_len/ok sharded over
     the block axis and stats replicated:
-    stats = [blocks_total, blocks_failed, raw_bytes, comp_bytes] (the analog
-    of the 4 per-direction counters, lz4e_stats.h:17-22, globally reduced).
+    stats = [blocks_total, blocks_failed, raw_hi, raw_lo, comp_hi, comp_lo]
+    (the analog of the 4 per-direction counters, lz4e_stats.h:17-22,
+    globally reduced). The byte counters are split at bit 8
+    (bytes = hi * 256 + lo) so the int32 psum cannot wrap: hi sums values
+    <= 2^22 and lo values <= 255, keeping both components under 2^31 for
+    any step up to the format's 2 GB-per-block envelope. Reassemble with
+    ``stats_totals``.
     """
     slot = F.compress_bound(block_size) + 8
 
@@ -80,16 +85,26 @@ def write_pipeline_sharded(raw, raw_len, block_size: int, mesh: Mesh,
             jnp.where(jnp.arange(block_size)[None, :] < rl[:, None],
                       out == r, True), axis=-1)
         ok = (~err) & (olen == rl) & same
+        rb = jnp.where(ok, rl, 0)
+        cb = jnp.where(ok, clen, 0)
         stats = jnp.stack([
             jnp.sum(jnp.ones_like(rl)),
             jnp.sum(jnp.where(ok, 0, 1)),
-            jnp.sum(jnp.where(ok, rl, 0)),
-            jnp.sum(jnp.where(ok, clen, 0)),
-        ]).astype(jnp.int32)  # per-step counters; host accumulates in Python ints
+            jnp.sum(rb >> 8), jnp.sum(rb & 255),
+            jnp.sum(cb >> 8), jnp.sum(cb & 255),
+        ]).astype(jnp.int32)  # split byte counters: no int32 wrap (docstring)
         stats = jax.lax.psum(stats, axis)
         return comp, clen, ok, stats
 
     return jax.jit(local)(raw, raw_len)
+
+
+def stats_totals(stats):
+    """Reassemble write_pipeline_sharded's split counters into Python ints:
+    (blocks_total, blocks_failed, raw_bytes, comp_bytes)."""
+    import numpy as np
+    s = np.asarray(stats).astype(np.int64)
+    return int(s[0]), int(s[1]), int(s[2] * 256 + s[3]), int(s[4] * 256 + s[5])
 
 
 def initialize_multihost(coordinator_address: str | None = None,

@@ -51,9 +51,9 @@ def test_write_pipeline_stats(mesh, fixtures):
     raw, rlen = _batch(fixtures)
     comp, clen, ok, stats = write_pipeline_sharded(raw, rlen, BS, mesh)
     ok = np.asarray(ok)
-    stats = np.asarray(stats)
     assert ok.all()
-    total, failed, raw_bytes, comp_bytes = stats.tolist()
+    from lz4_sgori_tpu.parallel import stats_totals
+    total, failed, raw_bytes, comp_bytes = stats_totals(stats)
     assert total == raw.shape[0]
     assert failed == 0
     assert raw_bytes == int(rlen.sum())
