@@ -152,29 +152,37 @@ class VerifyError(RuntimeError):
 
 def compress(data: bytes, block_size: int = DEFAULT_BLOCK_SIZE, *,
              verify: bool = True, stats: Stats | None = None,
-             match_depth: int = 3) -> bytes:
+             match_depth: int | None = None,
+             acceleration: int = 1) -> bytes:
     """Compress a byte stream into a container via the device encoder.
 
-    ``match_depth`` is the ratio/speed knob: the number of prior
-    occurrences evaluated per position (the hash-chain-depth analog of an
-    HC mode; 3 = default level-1-beating setting, 8+ = deep-match mode).
+    ``match_depth`` is the ratio knob: the number of prior occurrences
+    evaluated per position (the hash-chain-depth analog of an HC mode;
+    1 = greedy level-1 with LZ4_compress_default parity, 3+ = deep-match
+    mode on the exhaustive engine). ``acceleration`` is the speed knob
+    with LZ4_compress_fast semantics (greedy path only).
     """
     blocks = compress_to_blocks(data, block_size, verify=verify, stats=stats,
-                                match_depth=match_depth)
+                                match_depth=match_depth,
+                                acceleration=acceleration)
     return blocks.to_container()
 
 
 def compress_to_blocks(data: bytes, block_size: int = DEFAULT_BLOCK_SIZE, *,
                        verify: bool = True, stats: Stats | None = None,
-                       match_depth: int = 3) -> CompressedBlocks:
+                       match_depth: int | None = None,
+                       acceleration: int = 1) -> CompressedBlocks:
     from . import native
     from .ops import compress_blocks_device, decompress_blocks_device
 
     raw, raw_len = split_blocks(data, block_size)
     comp, comp_len = compress_blocks_device(raw, raw_len, block_size,
-                                            match_depth=match_depth)
-    comp = np.asarray(comp)
-    comp_len = np.asarray(comp_len)
+                                            match_depth=match_depth,
+                                            acceleration=acceleration)
+    # real copies: the verify/size-dominance fallbacks below write in place,
+    # and np.asarray of a jax array is a read-only view
+    comp = np.array(comp)
+    comp_len = np.array(comp_len)
 
     if verify:
         host_enc = native.compress if native.available() else golden.compress

@@ -50,7 +50,10 @@ def _cmd_stats(args) -> int:
 def _cmd_compress(args) -> int:
     data = open(args.input, "rb").read()
     t0 = time.perf_counter()
-    container = blocks.compress(data, args.block_size, verify=not args.no_verify)
+    container = blocks.compress(data, args.block_size,
+                                verify=not args.no_verify,
+                                acceleration=args.acceleration,
+                                match_depth=args.match_depth)
     dt = time.perf_counter() - t0
     open(args.output, "wb").write(container)
     ratio = len(data) / max(1, len(container))
@@ -120,6 +123,11 @@ def main(argv=None) -> int:
     c.add_argument("output")
     c.add_argument("--block-size", type=int, default=blocks.DEFAULT_BLOCK_SIZE)
     c.add_argument("--no-verify", action="store_true")
+    c.add_argument("--acceleration", type=int, default=1,
+                   help="LZ4_compress_fast-style speed/ratio knob (>=1)")
+    c.add_argument("--match-depth", type=int, default=None,
+                   help="1 = greedy level-1; >1 = deep-match engine; "
+                        "default: engine-appropriate")
     c.set_defaults(fn=_cmd_compress)
 
     d = sub.add_parser("decompress", help="decompress a container to a file")
@@ -130,8 +138,10 @@ def main(argv=None) -> int:
     v = sub.add_parser("verify", help="round-trip sweep with sha256 verify")
     v.add_argument("input")
     v.add_argument("--block-sizes", type=int, nargs="+",
-                   default=[4, 8, 16, 32, 64, 128, 256, 512, 1024],
-                   help="block sizes in KiB (fio sweep analog)")
+                   default=[4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048,
+                            4096],
+                   help="block sizes in KiB (the full fio sweep envelope, "
+                        "test_4k.fio..test_4m.fio)")
     v.add_argument("--json", action="store_true")
     v.set_defaults(fn=_cmd_verify)
 

@@ -15,10 +15,12 @@ class CodecConfig:
 
     block_size:      independent-block framing size (4 KiB..4 MiB envelope,
                      the reference's fio sweep range).
-    acceleration:    kept for API parity with LZ4E_compress_default's
-                     acceleration knob (lz4e.h:9); the vectorized encoder
-                     evaluates every position anyway, so it currently only
-                     gates nothing and documents intent.
+    acceleration:    LZ4_compress_fast semantics (lz4e.h:9, skip-search
+                     scaling lz4e_compress.c:296-307): >1 widens the skip
+                     step on the greedy kernel path, trading ratio for
+                     speed with byte parity to liblz4 at every value. The
+                     exhaustive deep-match engine has no skip loop and
+                     ignores it.
     verify_writes:   decode-verify every compressed block before accepting
                      it (the reference's always-on write verify,
                      lz4e_chunk.c:119-137).
@@ -30,8 +32,11 @@ class CodecConfig:
     block_size: int = 65536
     acceleration: int = F.ACCELERATION_DEFAULT
     # prior occurrences evaluated per position; the hash-chain-depth analog
-    # of the reference's (stubbed) HC ambitions — 8+ = deep-match mode
-    match_depth: int = 3
+    # of the reference's (stubbed) HC ambitions. None = each engine's
+    # ratio-contract default (greedy level-1 with LZ4_compress_default
+    # parity on the kernel path; depth 3 on the exhaustive XLA engine);
+    # 3+ = explicit deep-match mode (impl="xla")
+    match_depth: int | None = None
     verify_writes: bool = True
     max_sequences: int | None = None
     mesh_axis: str = "blocks"

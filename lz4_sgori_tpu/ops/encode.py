@@ -169,16 +169,28 @@ def _backward_runs(b, prev):
 
 
 def compress_blocks_device(raw, raw_len, block_size: int,
-                           match_depth: int = 3, impl: str = "auto"):
+                           match_depth: int | None = None,
+                           impl: str = "auto", acceleration: int = 1):
     """Batch-bucketing wrapper around the device encode: pads the block
     count to the next power of two (with empty blocks) so recurring calls
     hit a small set of compiled shapes, then trims.
 
     impl: "auto" picks the Pallas TPU kernel (reference-exact greedy
-    level-1; byte parity with LZ4_compress_default for blocks <= 64 KiB)
-    on a TPU backend and the portable XLA program elsewhere. The XLA
-    program is also the deep-match engine: "xla" + match_depth >= 4
-    evaluates that many candidate occurrences per position.
+    level-1; byte parity with LZ4_compress_fast for blocks <= 64 KiB at
+    every ``acceleration``) on a TPU backend and the portable XLA program
+    elsewhere.
+
+    match_depth: None = each engine's own ratio-contract default (greedy
+    level-1 on the kernel path; depth 3 on the exhaustive XLA engine,
+    which needs lookback depth to hold "size <= LZ4_compress_default").
+    An explicit value selects the deep-match engine; on a TPU backend
+    "auto" keeps the fast greedy kernel and warns, because the
+    gather-formulated deep engine is orders of magnitude slower there —
+    pass impl="xla" to force it.
+
+    acceleration: LZ4_compress_fast semantics (skip-search scaling,
+    lz4e_compress.c:296-307); the exhaustive XLA matcher has no skip
+    loop, so it applies only to the greedy kernel path.
     """
     raw = jnp.asarray(raw)
     raw_len = jnp.asarray(raw_len)
@@ -194,14 +206,37 @@ def compress_blocks_device(raw, raw_len, block_size: int,
         impl == "auto" and jax.default_backend() == "tpu"
         and block_size <= PALLAS_MAX_BLOCK)
     if use_pallas:
-        from .pallas.encode_kernel import compress_blocks_pallas
-        comp, comp_len = compress_blocks_pallas(raw, raw_len, block_size)
+        if match_depth is not None and match_depth > 1 and impl != "pallas":
+            import warnings
+            warnings.warn(
+                f"match_depth={match_depth} requested but the TPU greedy "
+                "kernel is selected (impl='auto'); deep match runs greedy "
+                "level-1 here. Pass impl='xla' to force the deep-match "
+                "engine.", stacklevel=2)
+        comp, comp_len = compress_blocks_pallas_dispatch(
+            raw, raw_len, block_size, acceleration)
     else:
+        if acceleration > 1:
+            import warnings
+            warnings.warn(
+                f"acceleration={acceleration} applies to the greedy kernel "
+                "path; the exhaustive engine evaluates every position and "
+                "ignores it.", stacklevel=2)
+        depth = 3 if match_depth is None else match_depth
         comp, comp_len = _compress_blocks_impl(raw, raw_len, block_size,
-                                               match_depth)
+                                               depth)
     if nbp != nb:
         comp, comp_len = comp[:nb], comp_len[:nb]
     return comp, comp_len
+
+
+def compress_blocks_pallas_dispatch(raw, raw_len, block_size: int,
+                                    acceleration: int = 1):
+    """Indirection point for the TPU kernel path (lets tests monkeypatch
+    and keeps the lazy import in one place)."""
+    from .pallas.encode_kernel import compress_blocks_pallas
+    return compress_blocks_pallas(raw, raw_len, block_size,
+                                  acceleration=acceleration)
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "match_depth"))

@@ -178,7 +178,8 @@ def _match_count(sref, p, m, climit, wmax):
 
 def _encode_kernel(rlen_ref, src_words_ref, zeros_ref, out_ref,
                    sref, oref, tbl, sem_a, sem_b, *,
-                   src_word_rows: int, out_word_rows: int):
+                   src_word_rows: int, out_word_rows: int,
+                   acceleration: int = 1):
     b = pl.program_id(0)
     n = rlen_ref[b]
 
@@ -237,9 +238,13 @@ def _encode_kernel(rlen_ref, src_words_ref, zeros_ref, out_ref,
             return (pos2, fpos2, step2, smn2, fh2, mpos2,
                     jnp.where(hit, 1, 0))
 
+        # searchMatchNb starts at acceleration << LZ4_SKIPTRIGGER
+        # (lz4e_compress.c:296-307): acceleration > 1 widens the skip step,
+        # trading ratio for speed exactly like LZ4_compress_fast
         (pos, _f, _s, _n2, fh, mpos, found) = jax.lax.while_loop(
             s_cond, s_body,
-            (pos, pos, jnp.int32(1), jnp.int32(1 << F.SKIPTRIGGER), fh,
+            (pos, pos, jnp.int32(1),
+             jnp.int32(acceleration << F.SKIPTRIGGER), fh,
              jnp.int32(0), jnp.int32(0)))
 
         def no_match(args):
@@ -361,9 +366,10 @@ def _wrows(nbytes: int) -> int:
     return -(-rows // 8) * 8
 
 
-@functools.partial(jax.jit, static_argnames=("block_size", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_size", "interpret",
+                                             "acceleration"))
 def _encode_pallas_jit(raw, raw_len, block_size: int,
-                       interpret: bool = False):
+                       interpret: bool = False, acceleration: int = 1):
     nblocks = raw.shape[0]
     cb = F.compress_bound(block_size)
     src_word_rows = _wrows(block_size + 8)
@@ -404,7 +410,8 @@ def _encode_pallas_jit(raw, raw_len, block_size: int,
     )
     kernel = functools.partial(_encode_kernel,
                                src_word_rows=src_word_rows,
-                               out_word_rows=out_word_rows)
+                               out_word_rows=out_word_rows,
+                               acceleration=acceleration)
     [outw] = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -426,13 +433,16 @@ def _srl_arr(x, n):
 
 
 def compress_blocks_pallas(raw, raw_len, block_size: int,
-                           interpret: bool = False):
+                           interpret: bool = False, acceleration: int = 1):
     """Encode a batch of LZ4 blocks with the Pallas TPU kernel.
 
     Same contract as ops.compress_blocks_device (sans match_depth — this
     is the reference-exact greedy level-1 path): raw uint8
     [num_blocks, block_size], raw_len int32; returns (comp uint8
-    [num_blocks, COMPRESSBOUND], comp_len int32).
+    [num_blocks, COMPRESSBOUND], comp_len int32). ``acceleration`` scales
+    the skip search exactly like LZ4_compress_fast (byte parity with
+    liblz4 at every acceleration, blocks <= 64 KiB).
     """
     return _encode_pallas_jit(jnp.asarray(raw), jnp.asarray(raw_len),
-                              block_size, interpret)
+                              block_size, interpret,
+                              max(1, int(acceleration)))

@@ -31,6 +31,10 @@ def _load():
         lib.LZ4_compress_default.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
         lib.LZ4_compress_default.restype = ctypes.c_int
+        lib.LZ4_compress_fast.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
+        lib.LZ4_compress_fast.restype = ctypes.c_int
         lib.LZ4_decompress_safe.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
         lib.LZ4_decompress_safe.restype = ctypes.c_int
@@ -55,6 +59,21 @@ def compress(data: bytes) -> bytes:
     n = lib.LZ4_compress_default(data, dst, len(data), bound)
     if n <= 0:
         raise RuntimeError(f"LZ4_compress_default failed: {n}")
+    return dst.raw[:n]
+
+
+def compress_fast(data: bytes, acceleration: int = 1) -> bytes:
+    """LZ4_compress_fast via liblz4 — the acceleration-knob parity oracle
+    (lz4e.h:9 LZ4E_ACCELERATION_DEFAULT; skip scaling lz4e_compress.c:296-307).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("liblz4 not available")
+    bound = lib.LZ4_compressBound(len(data))
+    dst = ctypes.create_string_buffer(bound)
+    n = lib.LZ4_compress_fast(data, dst, len(data), bound, acceleration)
+    if n <= 0:
+        raise RuntimeError(f"LZ4_compress_fast failed: {n}")
     return dst.raw[:n]
 
 

@@ -1,0 +1,98 @@
+"""Config-knob contract tests: acceleration end-to-end (VERDICT r1 item 5)
+and the match_depth dispatcher contract.
+
+The reference exposes acceleration through LZ4E_compress_default
+(lz4e.h:9 LZ4E_ACCELERATION_DEFAULT; skip scaling lz4e_compress.c:296-307).
+Parity oracle: liblz4's LZ4_compress_fast must produce byte-identical
+output at every acceleration for <= 64 KiB blocks.
+"""
+
+import warnings
+
+import numpy as np
+import pytest
+
+from lz4_sgori_tpu import golden
+from lz4_sgori_tpu.utils import oracle
+
+HAS_LZ4 = oracle.available()
+
+
+@pytest.mark.skipif(not HAS_LZ4, reason="liblz4 not available")
+@pytest.mark.parametrize("accel", [2, 8, 64])
+def test_golden_acceleration_parity_liblz4(fixtures, accel):
+    for name, data in fixtures.items():
+        ours = golden.compress(data, acceleration=accel)
+        ref = oracle.compress_fast(data, accel)
+        assert ours == ref, (name, accel)
+
+
+@pytest.mark.skipif(not HAS_LZ4, reason="liblz4 not available")
+def test_acceleration_changes_output(fixtures):
+    # acceleration > 1 must actually change the parse on compressible data
+    data = fixtures["text_small"]
+    a1 = golden.compress(data, acceleration=1)
+    a64 = golden.compress(data, acceleration=64)
+    assert len(a64) > len(a1)  # skip search trades ratio for speed
+    assert golden.decompress(a64, len(data)) == data
+
+
+@pytest.mark.parametrize("accel", [1, 8])
+def test_pallas_encode_acceleration_matches_golden(fixtures, accel):
+    from lz4_sgori_tpu.ops.pallas.encode_kernel import compress_blocks_pallas
+
+    bs = 4096
+    names = ["text_small", "text_large"]
+    for name in names:
+        data = fixtures[name][:bs]
+        raw = np.zeros((1, bs), np.uint8)
+        raw[0, :len(data)] = np.frombuffer(data, np.uint8)
+        comp, clen = compress_blocks_pallas(
+            raw, np.asarray([len(data)], np.int32), bs,
+            interpret=True, acceleration=accel)
+        got = np.asarray(comp)[0, :int(clen[0])].tobytes()
+        want = golden.compress(data, acceleration=accel)
+        assert got == want, (name, accel)
+
+
+def test_match_depth_warns_when_greedy_kernel_selected(monkeypatch, fixtures):
+    """impl='auto' on a TPU backend routes to the greedy kernel; an explicit
+    match_depth > 1 must warn rather than silently no-op (VERDICT r1)."""
+    import lz4_sgori_tpu.ops.encode as E
+
+    calls = {}
+
+    def fake_dispatch(raw, raw_len, block_size, acceleration=1):
+        calls["pallas"] = True
+        from lz4_sgori_tpu.ops.pallas.encode_kernel import \
+            compress_blocks_pallas
+        return compress_blocks_pallas(raw, raw_len, block_size,
+                                      interpret=True,
+                                      acceleration=acceleration)
+
+    monkeypatch.setattr(E, "compress_blocks_pallas_dispatch", fake_dispatch)
+    import jax
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    data = fixtures["text_small"][:4096]
+    raw = np.zeros((1, 4096), np.uint8)
+    raw[0, :len(data)] = np.frombuffer(data, np.uint8)
+    rl = np.asarray([len(data)], np.int32)
+
+    with pytest.warns(UserWarning, match="match_depth"):
+        E.compress_blocks_device(raw, rl, 4096, match_depth=3)
+    assert calls.get("pallas")
+
+    # match_depth=1 (the default) must not warn
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        E.compress_blocks_device(raw, rl, 4096, match_depth=1)
+
+    # impl='xla' honors deep match without warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        comp, clen = E.compress_blocks_device(raw, rl, 4096, match_depth=3,
+                                              impl="xla")
+    out = golden.decompress(
+        np.asarray(comp)[0, :int(clen[0])].tobytes(), len(data))
+    assert out == data
