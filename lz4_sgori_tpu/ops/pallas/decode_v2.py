@@ -1,0 +1,478 @@
+"""Vectorized LZ4 block parse/decode core: the round-2 TPU-native decoder.
+
+The round-1 decoder ran one scalar-core loop per block (~240 cycles per
+sequence, 0.06 GB/s). This module rebuilds decode as data-parallel phases
+over *transposed* byte arrays of shape (128, NSEG): element [o, k] is the
+byte at stream position p = k*128 + o, i.e. one lane column = one 128-byte
+**segment** and the sublane row = position within the segment. All parse
+lookups are then column-aligned masked reduces — no dynamic lane indexing
+(unsupported on this Mosaic toolchain, docs/Performance.md).
+
+Phases:
+
+1. **LSIC scans** (`lsic_scans`): per-position 0xFF-run length and
+   first-non-255 value by log-doubling with static byte shifts. Every
+   position's LSIC extension value (lz4e_decompress.c:194-220) in
+   O(log) passes, for all positions at once.
+2. **Hop tables** (`build_hops`): speculative parse — for a hypothetical
+   token at every position p, the next parse state and the output bytes
+   produced. Short-literal tokens (lit run < 15) resolve their entire
+   sequence (offset, match len incl. LSIC) from bounded shifted reads;
+   long-literal tokens hop through an offset-phase state that carries the
+   token's 4-bit ml0 packed in the state word.
+3. **Windowed exit sweep** (`segment_sweep`): for every state, follow
+   hops while they stay within the next W bytes of the same segment;
+   record the first state beyond (the "exit"), plus output-bytes and
+   sequence-count along the way. A 128-step backward recurrence, fully
+   unrolled, each step touching only a (W, NSEG) slab.
+4. **Chain walk** (scalar, SMEM in-kernel / numpy in tests): ~NSEG hops
+   through the exit table resolve the true chain's per-segment entry
+   states from position 0.
+5. **Re-walk** (`rewalk`): column-parallel re-execution of each segment's
+   chain from its entry state, emitting the per-sequence table
+   (lit_src, lit_len, offset, match_len) in block order.
+
+State word: bits 0 = phase (0 token / 1 offset), 1..18 = position,
+20..23 = ml0 (offset phase only). Aggregate word: bits 0..7 = sequence
+count, 8..31 = output bytes.
+
+The phases are pure static-shape jnp so the same code runs under CPU jit
+(parity tests against a numpy reference parser) and inside the Pallas
+kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ... import format as F
+
+LANES = 128
+_LSIC_LOG = 9          # resolves 0xFF runs to 512 (beyond any 64 KiB block)
+_W = 24                # sweep composition window (bytes ahead, same segment)
+_PH_OFF = 1
+_POS_SHIFT = 1
+_ML_SHIFT = 20
+_CNT_BITS = 8          # aggregate word: low 8 bits seq count, rest out bytes
+
+
+def _tshift(arr, d: int):
+    """y[o, k] = arr at position p + d (transposed layout, zero fill past
+    the end; static d >= 0)."""
+    if d == 0:
+        return arr
+    nseg = arr.shape[1]
+    dc, dl = d // LANES, d % LANES
+    a = jnp.roll(arr, -dc, axis=1)
+    if dl == 0:
+        out = a
+        spill = dc
+    else:
+        b = jnp.roll(arr, -(dc + 1), axis=1)
+        ar = jnp.roll(a, -dl, axis=0)
+        br = jnp.roll(b, -dl, axis=0)
+        row = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
+        out = jnp.where(row < LANES - dl, ar, br)
+        spill = dc + 1
+    col = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1)
+    # exact zero fill: position p+d >= nseg*128 reads 0
+    if dl == 0:
+        return jnp.where(col < nseg - dc, out, 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
+    p_plus = col * LANES + row + d
+    return jnp.where(p_plus < nseg * LANES, out, 0)
+
+
+def _pos_grid(shape):
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return col * LANES + row
+
+
+def lsic_scans(b):
+    """runff[p] = length of the 0xFF run starting at p (clamped to 512);
+    fnz[p] = first byte value < 255 at or after p. The LSIC chain at p has
+    value 255*runff[p] + fnz[p] and consumes runff[p] + 1 bytes."""
+    is_ff = (b == 255).astype(jnp.int32)
+    run = is_ff
+    for k in range(_LSIC_LOG):
+        step = 1 << k
+        run = jnp.where(run == step, step + _tshift(run, step), run)
+    fnz = jnp.where(is_ff == 1, -1, b)
+    for k in range(_LSIC_LOG):
+        step = 1 << k
+        fnz = jnp.where(fnz < 0, _tshift(fnz, step), fnz)
+    return run, jnp.maximum(fnz, 0)
+
+
+def build_hops(b, clen):
+    """Speculative per-position parse tables (all (128, NSEG) int32).
+
+    Keys:
+      hop_tok:  state word of the next state if a token is at p
+      agg_tok:  aggregate word (out bytes << 8 | seq count 1)
+      litpack:  lit_src_rel (bits 0..9) | short flag (bit 10) |
+                terminal flag (bit 11) | overrun flag (bit 12)
+      lit_len:  literal run length
+      off_tok:  LE16 offset (valid for short tokens)
+      mlen_tok: full match length (valid for short tokens)
+      hop_off_n / hop_off_x: next-state word from an offset-phase state
+                (token ml0 < 15 / == 15)
+      mext_off: match LSIC extension value read at p + 2
+      off16:    LE16 at p (read by the re-walk at offset states)
+
+    Every position is clamped so reads stay in-array; chains that overrun
+    clen land on position clen + 1 (the malformed marker). A terminal
+    token (literals end exactly at clen) lands on position clen, phase 0.
+    """
+    pos = _pos_grid(b.shape)
+    runff, fnz = lsic_scans(b)
+
+    def run_at(d):
+        return _tshift(runff, d)
+
+    def fnz_at(d):
+        return _tshift(fnz, d)
+
+    tok = b
+    ll0 = tok >> 4
+    ml0 = tok & 15
+    has_llx = ll0 == 15
+    r1, f1 = run_at(1), fnz_at(1)
+    llx_bytes = jnp.where(has_llx, r1 + 1, 0)
+    llx_val = jnp.where(has_llx, 255 * r1 + f1, 0)
+    lit_len = ll0 + llx_val
+    lit_src = 1 + llx_bytes                   # relative to p
+    lit_end = lit_src + lit_len               # offset position, rel. to p
+
+    off16 = b | (_tshift(b, 1) << 8)
+
+    # short tokens (ll0 < 15): offset at p+1+ll0, match LSIC at p+3+ll0
+    off_sel = jnp.zeros_like(b)
+    mxb_sel = jnp.zeros_like(b)
+    mxv_sel = jnp.zeros_like(b)
+    for d in range(15):
+        m = ll0 == d
+        off_sel = jnp.where(m, _tshift(off16, 1 + d), off_sel)
+        mxb_sel = jnp.where(m, run_at(3 + d) + 1, mxb_sel)
+        mxv_sel = jnp.where(m, 255 * run_at(3 + d) + fnz_at(3 + d), mxv_sel)
+
+    short = ll0 < 15
+    has_mlx = ml0 == 15
+    mlen_short = F.MINMATCH + ml0 + jnp.where(has_mlx, mxv_sel, 0)
+    adv_short = lit_end + 2 + jnp.where(has_mlx, mxb_sel, 0)
+
+    terminal = (pos + lit_end) == clen
+    overrun = (pos + lit_end) > clen
+
+    # next-state words
+    next_tok_pos = jnp.minimum(pos + adv_short, clen + 1)
+    # a non-terminal sequence whose next token would start at clen is
+    # malformed (the last sequence must be literal-only)
+    next_tok_pos = jnp.where(next_tok_pos == clen, clen + 1, next_tok_pos)
+    hop_short = next_tok_pos << _POS_SHIFT
+    q_pos = jnp.minimum(pos + lit_end, clen + 1)
+    hop_long = ((q_pos << _POS_SHIFT) | _PH_OFF) | (ml0 << _ML_SHIFT)
+    hop_done = clen << _POS_SHIFT
+    hop_bad = (clen + 1) << _POS_SHIFT
+
+    hop_tok = jnp.where(
+        terminal, hop_done,
+        jnp.where(overrun, hop_bad,
+                  jnp.where(short, hop_short, hop_long)))
+    out_tok = jnp.where(short & ~terminal & ~overrun,
+                        lit_len + mlen_short, lit_len)
+    agg_tok = (out_tok << _CNT_BITS) | 1
+
+    litpack = (jnp.minimum(lit_src, 1023)
+               | (short.astype(jnp.int32) << 10)
+               | (terminal.astype(jnp.int32) << 11)
+               | (overrun.astype(jnp.int32) << 12))
+
+    # offset-phase states (long-literal tokens): bytes p, p+1 = offset;
+    # the carried ml0 selects the variant at composition time
+    r2, f2 = run_at(2), fnz_at(2)
+    nn = jnp.minimum(pos + 2, clen + 1)
+    nn = jnp.where(nn == clen, clen + 1, nn)
+    nx = jnp.minimum(pos + 2 + r2 + 1, clen + 1)
+    nx = jnp.where(nx == clen, clen + 1, nx)
+    hop_off_n = nn << _POS_SHIFT
+    hop_off_x = nx << _POS_SHIFT
+    mext_off = 255 * r2 + f2
+
+    return dict(hop_tok=hop_tok, agg_tok=agg_tok, litpack=litpack,
+                lit_len=lit_len, off_tok=off_sel, mlen_tok=mlen_short,
+                hop_off_n=hop_off_n, hop_off_x=hop_off_x,
+                mext_off=mext_off, off16=off16)
+
+
+def _unpack_pos(word):
+    return (word >> _POS_SHIFT) & 0x3FFFF
+
+
+def _unpack_ml(word):
+    return (word >> _ML_SHIFT) & 15
+
+
+def segment_sweep(hops, clen):
+    """Windowed exit tables.
+
+    For every state s (token at [o,k], or offset-phase at [o,k]): follow
+    hops while each lands within (o, o+W] bytes in the same segment and
+    before clen; the exit is the first state beyond. Returns packed
+    (state_word, agg_word) pairs for the three variants:
+
+      e_tok:   exits from token states
+      e_off_n: exits from offset states whose token had ml0 < 15,
+               EXCLUDING the ml0 + MINMATCH output term (the composer —
+               sweep, walk, or re-walk — adds it from the state's ml bits)
+      e_off_x: same for ml0 == 15, INCLUDING the position-dependent
+               match-LSIC extension value
+
+    Implemented as a fully unrolled backward recurrence over rows 127..0:
+    when row o is processed, every row in (o, o+W] is already final.
+    """
+    hop_tok, agg_tok = hops["hop_tok"], hops["agg_tok"]
+    hop_off_n, hop_off_x = hops["hop_off_n"], hops["hop_off_x"]
+    mext_off = hops["mext_off"]
+    shape = hop_tok.shape
+    nseg = shape[1]
+    colbase = jax.lax.broadcasted_iota(jnp.int32, (1, nseg), 1) * LANES
+
+    ea_tok = hop_tok
+    eb_tok = agg_tok
+    ea_off_n = hop_off_n
+    eb_off_n = jnp.zeros_like(hop_off_n)
+    ea_off_x = hop_off_x
+    eb_off_x = mext_off << _CNT_BITS
+
+    def compose(first_a, first_b, o, tabs):
+        """Compose one-hop (first_a, first_b) rows at sublane o with the
+        final exit tables where the hop lands within the window."""
+        (ta_tok, tb_tok, ta_on, tb_on, ta_ox, tb_ox) = tabs
+        tpos = _unpack_pos(first_a)
+        trel = tpos - colbase          # (1, nseg) target row if in-segment
+        internal = (trel > o) & (trel <= o + _W) & (trel < LANES) \
+            & (tpos < clen)
+        w = min(_W, LANES - 1 - o)
+        if w <= 0:
+            return first_a, first_b
+        rows = jax.lax.broadcasted_iota(jnp.int32, (w, nseg), 0) + o + 1
+        mask = (rows == trel).astype(jnp.int32)   # (w, nseg)
+
+        def lk(tbl):
+            return jnp.sum(tbl[o + 1:o + 1 + w, :] * mask, axis=0,
+                           keepdims=True)
+
+        tphase = first_a & 1
+        tml = _unpack_ml(first_a)
+        is_x = tml == 15
+        cont_a = jnp.where(
+            tphase == 0, lk(ta_tok),
+            jnp.where(is_x, lk(ta_ox), lk(ta_on)))
+        cont_b = jnp.where(
+            tphase == 0, lk(tb_tok),
+            jnp.where(is_x, lk(tb_ox), lk(tb_on)))
+        # offset-phase targets add their ml0 + MINMATCH output term here
+        base = jnp.where(tphase == 1, (tml + F.MINMATCH) << _CNT_BITS, 0)
+        a = jnp.where(internal, cont_a, first_a)
+        b = first_b + jnp.where(internal, cont_b + base, 0)
+        return a, b
+
+    for o in range(LANES - 1, -1, -1):
+        tabs = (ea_tok, eb_tok, ea_off_n, eb_off_n, ea_off_x, eb_off_x)
+        a, bb = compose(hop_tok[o:o + 1, :], agg_tok[o:o + 1, :], o, tabs)
+        ea_tok = ea_tok.at[o:o + 1, :].set(a)
+        eb_tok = eb_tok.at[o:o + 1, :].set(bb)
+        a, bb = compose(hop_off_n[o:o + 1, :],
+                        jnp.zeros((1, nseg), jnp.int32), o, tabs)
+        ea_off_n = ea_off_n.at[o:o + 1, :].set(a)
+        eb_off_n = eb_off_n.at[o:o + 1, :].set(bb)
+        a, bb = compose(hop_off_x[o:o + 1, :],
+                        (mext_off[o:o + 1, :]) << _CNT_BITS, o, tabs)
+        ea_off_x = ea_off_x.at[o:o + 1, :].set(a)
+        eb_off_x = eb_off_x.at[o:o + 1, :].set(bb)
+
+    return dict(ea_tok=ea_tok, eb_tok=eb_tok,
+                ea_off_n=ea_off_n, eb_off_n=eb_off_n,
+                ea_off_x=ea_off_x, eb_off_x=eb_off_x)
+
+
+MAXSTEP = 32  # sequence-record slots per 128-byte segment (denser than one
+# record per 4 input bytes would overflow; such blocks flag err and fall
+# back to the scalar kernel)
+
+
+def rewalk(hops, entry_state, clen):
+    """Column-parallel re-execution: from each segment's entry state,
+    follow raw hops while they stay in the segment, recording one row per
+    *sequence* (not per state: offset-phase visits merge into their
+    token's record via a per-column record counter).
+
+    entry_state: (1, NSEG) int32 state words, -1 where no chain state
+    starts in the segment.
+
+    Returns dict of (MAXSTEP, NSEG) int32 record arrays:
+      r_lit_src: absolute comp position of the first literal byte
+      r_lit_len: literal run length
+      r_off:     match offset (0 for the terminal literal-only sequence)
+      r_mlen:    match length (0 for terminal)
+      r_live:    1 where the slot holds a sequence
+    plus (1, NSEG) vectors:
+      n_rec:     live records per column
+      cont_off / cont_mlen / cont_valid: continuation fields for a
+                 sequence whose token sat in the PREVIOUS column (its
+                 offset state crossed the segment boundary); the caller
+                 merges these into the previous column's last record
+      err:       per-column malformed/overflow flag
+    """
+    hop_tok, litpack = hops["hop_tok"], hops["litpack"]
+    lit_len_t, off_tok = hops["lit_len"], hops["off_tok"]
+    mlen_tok = hops["mlen_tok"]
+    hop_off_n, hop_off_x = hops["hop_off_n"], hops["hop_off_x"]
+    mext_off, off16 = hops["mext_off"], hops["off16"]
+
+    shape = hop_tok.shape
+    nseg = shape[1]
+    colbase = jax.lax.broadcasted_iota(jnp.int32, (1, nseg), 1) * LANES
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (MAXSTEP, nseg), 0)
+
+    z = jnp.zeros((MAXSTEP, nseg), jnp.int32)
+    zv = jnp.zeros((1, nseg), jnp.int32)
+
+    def lookup(tbl, o, active):
+        rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        m = ((rows == o) & (active != 0)).astype(jnp.int32)
+        return jnp.sum(tbl * m, axis=0, keepdims=True)
+
+    def body(carry):
+        (s, nrec, recs, cont, err, it) = carry
+        (r_ls, r_ll, r_off, r_ml, r_live) = recs
+        (c_off, c_ml, c_valid) = cont
+        pos = _unpack_pos(s)
+        in_col = (pos >= colbase) & (pos < colbase + LANES)
+        active = ((s >= 0) & (pos < clen) & in_col).astype(jnp.int32)
+        o = jnp.where(active != 0, pos - colbase, 0)
+        phase = s & 1
+        is_tok = (active != 0) & (phase == 0)
+        is_off = (active != 0) & (phase == 1)
+
+        # token-state fields
+        a_tok = is_tok.astype(jnp.int32)
+        hop_t = lookup(hop_tok, o, a_tok)
+        lp = lookup(litpack, o, a_tok)
+        ll = lookup(lit_len_t, o, a_tok)
+        ot = lookup(off_tok, o, a_tok)
+        mt = lookup(mlen_tok, o, a_tok)
+        short = (lp >> 10) & 1
+        term = (lp >> 11) & 1
+        over = (lp >> 12) & 1
+        lsrc = pos + (lp & 1023)
+
+        # offset-state fields
+        a_off = is_off.astype(jnp.int32)
+        ml0 = _unpack_ml(s)
+        hop_n = lookup(hop_off_n, o, a_off)
+        hop_x = lookup(hop_off_x, o, a_off)
+        mx = lookup(mext_off, o, a_off)
+        o16 = lookup(off16, o, a_off)
+        off_full = o16
+        mlen_full = F.MINMATCH + ml0 + jnp.where(ml0 == 15, mx, 0)
+
+        # --- record ---
+        # token: write a new record at row nrec
+        wt = (rowg == nrec) & is_tok
+        r_ls = jnp.where(wt, lsrc, r_ls)
+        r_ll = jnp.where(wt, ll, r_ll)
+        r_off = jnp.where(wt, jnp.where(short == 1, ot, 0), r_off)
+        r_ml = jnp.where(wt, jnp.where((short == 1) & (term == 0)
+                                       & (over == 0), mt, 0), r_ml)
+        r_live = jnp.where(wt, 1, r_live)
+        # offset state with nrec > 0: merge into this column's previous
+        # record; nrec == 0: the token was in the previous column —
+        # export as continuation
+        wo = (rowg == nrec - 1) & is_off & (nrec > 0)
+        r_off = jnp.where(wo, off_full, r_off)
+        r_ml = jnp.where(wo, mlen_full, r_ml)
+        first_off = is_off & (nrec == 0)
+        c_off = jnp.where(first_off, off_full, c_off)
+        c_ml = jnp.where(first_off, mlen_full, c_ml)
+        c_valid = jnp.where(first_off, 1, c_valid)
+
+        nrec = nrec + jnp.where(is_tok, 1, 0)
+        err = err | jnp.where((active != 0) & (over == 1), 1, 0) \
+            | jnp.where(is_tok & (nrec > MAXSTEP), 1, 0)
+
+        s_next = jnp.where(
+            is_tok, hop_t,
+            jnp.where(is_off, jnp.where(ml0 == 15, hop_x, hop_n), -1))
+        s = jnp.where(active != 0, s_next, -1)
+        recs = (r_ls, r_ll, r_off, r_ml, r_live)
+        return (s, nrec, recs, (c_off, c_ml, c_valid), err, it + 1)
+
+    def cond(carry):
+        s = carry[0]
+        it = carry[5]
+        pos = _unpack_pos(s)
+        in_col = (pos >= colbase) & (pos < colbase + LANES)
+        any_active = jnp.any((s >= 0) & (pos < clen) & in_col)
+        return any_active & (it < 2 * MAXSTEP + 4)
+
+    init = (entry_state, zv, (z, z, z, z, z), (zv, zv, zv), zv, 0)
+    (s, nrec, recs, cont, err, _it) = jax.lax.while_loop(cond, body, init)
+    r_ls, r_ll, r_off, r_ml, r_live = recs
+    c_off, c_ml, c_valid = cont
+
+    # merge cross-column continuations into the previous column's last
+    # record (a long-literal token whose offset bytes start the next
+    # segment)
+    nc_off = jnp.roll(c_off, -1, axis=1)
+    nc_ml = jnp.roll(c_ml, -1, axis=1)
+    nc_valid = jnp.roll(c_valid, -1, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, r_ls.shape[1]), 1)
+    nc_valid = jnp.where(col == r_ls.shape[1] - 1, 0, nc_valid)
+    wm = (rowg == nrec - 1) & (nc_valid != 0) & (nrec > 0)
+    r_off = jnp.where(wm, nc_off, r_off)
+    r_ml = jnp.where(wm, nc_ml, r_ml)
+
+    return dict(r_lit_src=r_ls, r_lit_len=r_ll, r_off=r_off, r_mlen=r_ml,
+                r_live=r_live, n_rec=nrec, err=err)
+
+
+def walk_chain_np(exits, clen: int, nseg: int):
+    """Numpy reference of the in-kernel scalar chain walk.
+
+    From state 0 (token at position 0), repeatedly apply the exit tables
+    until position >= clen. Returns (entry_state per segment int64 array
+    (-1 = no chain state starts in that segment), ok flag). The entry of
+    segment k is the first chain state with position in [k*128, k*128+128).
+    """
+    ea_tok = np.asarray(exits["ea_tok"])
+    ea_off_n = np.asarray(exits["ea_off_n"])
+    ea_off_x = np.asarray(exits["ea_off_x"])
+    entries = np.full(nseg, -1, np.int64)
+    s = 0  # state word: position 0, phase 0
+    guard = 0
+    max_hops = nseg * (LANES // 2) + 16
+    while True:
+        pos = (s >> _POS_SHIFT) & 0x3FFFF
+        if pos >= clen:
+            ok = pos == clen and (s & 1) == 0
+            return entries, ok
+        seg, o = pos // LANES, pos % LANES
+        if seg >= nseg:
+            return entries, False
+        if entries[seg] < 0:
+            entries[seg] = s
+        if s & 1:
+            tbl = ea_off_x if ((s >> _ML_SHIFT) & 15) == 15 else ea_off_n
+        else:
+            tbl = ea_tok
+        s = int(tbl[o, seg])
+        guard += 1
+        if guard > max_hops:
+            return entries, False
