@@ -302,9 +302,9 @@ def segment_sweep(hops, clen):
                 ea_off_x=ea_off_x, eb_off_x=eb_off_x)
 
 
-MAXSTEP = 32  # sequence-record slots per 128-byte segment (denser than one
-# record per 4 input bytes would overflow; such blocks flag err and fall
-# back to the scalar kernel)
+MAXSTEP = 44  # sequence-record slots per 128-byte segment: a sequence
+# consumes >= 3 input bytes (token + LE16 offset), so a segment holds at
+# most ceil(128/3) = 43 token starts — every legal stream fits
 
 
 def rewalk(hops, entry_state, clen):
@@ -388,9 +388,9 @@ def rewalk(hops, entry_state, clen):
         wt = (rowg == nrec) & is_tok
         r_ls = jnp.where(wt, lsrc, r_ls)
         r_ll = jnp.where(wt, ll, r_ll)
-        r_off = jnp.where(wt, jnp.where(short == 1, ot, 0), r_off)
-        r_ml = jnp.where(wt, jnp.where((short == 1) & (term == 0)
-                                       & (over == 0), mt, 0), r_ml)
+        seq_ok = (short == 1) & (term == 0) & (over == 0)
+        r_off = jnp.where(wt, jnp.where(seq_ok, ot, 0), r_off)
+        r_ml = jnp.where(wt, jnp.where(seq_ok, mt, 0), r_ml)
         r_live = jnp.where(wt, 1, r_live)
         # offset state with nrec > 0: merge into this column's previous
         # record; nrec == 0: the token was in the previous column —
@@ -427,17 +427,35 @@ def rewalk(hops, entry_state, clen):
     r_ls, r_ll, r_off, r_ml, r_live = recs
     c_off, c_ml, c_valid = cont
 
-    # merge cross-column continuations into the previous column's last
-    # record (a long-literal token whose offset bytes start the next
-    # segment)
-    nc_off = jnp.roll(c_off, -1, axis=1)
-    nc_ml = jnp.roll(c_ml, -1, axis=1)
-    nc_valid = jnp.roll(c_valid, -1, axis=1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, r_ls.shape[1]), 1)
-    nc_valid = jnp.where(col == r_ls.shape[1] - 1, 0, nc_valid)
-    wm = (rowg == nrec - 1) & (nc_valid != 0) & (nrec > 0)
-    r_off = jnp.where(wm, nc_off, r_off)
-    r_ml = jnp.where(wm, nc_ml, r_ml)
+    # merge cross-column continuations into the owning token's record: the
+    # token of a continuation in column k is the LAST record of the nearest
+    # previous column with any records (every column in between is empty —
+    # it was covered by the literal run). Right-to-left pass/block/value
+    # scan by lane-roll doubling: a receiving column takes the first
+    # continuation to its right with no recording column in between.
+    PASS, BLOCK, VALUE = 0, 1, 2
+    kind = jnp.where(c_valid != 0, VALUE,
+                     jnp.where(nrec > 0, BLOCK, PASS))
+    v_off, v_ml = c_off, c_ml
+    nseg_ = r_ls.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, nseg_), 1)
+    # shift left by one first: receiver looks at its right neighbor onward
+    def shl(x, s):
+        y = jnp.roll(x, -s, axis=1)
+        return jnp.where(col < nseg_ - s, y, PASS * jnp.ones_like(y))
+
+    kind_r, off_r, ml_r = shl(kind, 1), shl(v_off, 1), shl(v_ml, 1)
+    s = 1
+    while s < nseg_:
+        k2, o2, m2 = shl(kind_r, s), shl(off_r, s), shl(ml_r, s)
+        take = kind_r == PASS
+        kind_r = jnp.where(take, k2, kind_r)
+        off_r = jnp.where(take, o2, off_r)
+        ml_r = jnp.where(take, m2, ml_r)
+        s *= 2
+    wm = (rowg == nrec - 1) & (kind_r == VALUE) & (nrec > 0)
+    r_off = jnp.where(wm, off_r, r_off)
+    r_ml = jnp.where(wm, ml_r, r_ml)
 
     return dict(r_lit_src=r_ls, r_lit_len=r_ll, r_off=r_off, r_mlen=r_ml,
                 r_live=r_live, n_rec=nrec, err=err)
