@@ -494,3 +494,325 @@ def walk_chain_np(exits, clen: int, nseg: int):
         guard += 1
         if guard > max_hops:
             return entries, False
+
+
+# ---------------------------------------------------------------------------
+# Execution phase: sequence table -> output bytes
+# ---------------------------------------------------------------------------
+
+STEP_PAD = 48    # MAXSTEP padded for matmul shapes
+FAR_RANKS = 8    # per-out-row budget of distinct "far" match windows
+LOCAL_MAX = 256  # root distances below this resolve via the delta scan
+
+
+def _tri_excl(n):
+    """Strictly-lower-triangular ones (n, n) f32: L @ x = exclusive cumsum
+    along axis 0 (jnp.cumsum does not lower inside Mosaic kernels)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (c < r).astype(jnp.float32)
+
+
+def _tshift_back(arr, d: int):
+    """y[o, k] = arr at position p - d (transposed layout, zero fill
+    before the start; static d >= 0)."""
+    if d == 0:
+        return arr
+    dc, dl = d // LANES, d % LANES
+    a = jnp.roll(arr, dc, axis=1)
+    if dl == 0:
+        out = a
+    else:
+        b = jnp.roll(arr, dc + 1, axis=1)
+        ar = jnp.roll(a, dl, axis=0)
+        br = jnp.roll(b, dl, axis=0)
+        row = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
+        out = jnp.where(row >= dl, ar, br)
+    pos = _pos_grid(arr.shape)
+    return jnp.where(pos >= d, out, 0)
+
+
+def seq_layout(recs):
+    """Output-position assembly over the (MAXSTEP, NSEG) record slots:
+    out_start (STEP_PAD, NSEG), col_base (1, NSEG), total_out scalar."""
+    nseg = recs["r_lit_len"].shape[1]
+    olen = recs["r_lit_len"] + recs["r_mlen"]
+    olen = jnp.pad(olen, ((0, STEP_PAD - MAXSTEP), (0, 0)))
+    col_total = jnp.sum(olen, axis=0, keepdims=True)
+    cu = jnp.transpose(_tri_excl(nseg), (1, 0))
+    col_base = jnp.dot(col_total.astype(jnp.float32), cu,
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
+    within = jnp.dot(_tri_excl(STEP_PAD), olen.astype(jnp.float32),
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    out_start = col_base + within
+    total_out = jnp.sum(col_total) * 0 + (
+        col_base[0, nseg - 1] + col_total[0, nseg - 1])
+    return out_start, col_base, total_out
+
+
+def _window_select(win, w):
+    """out[r, l] = win[r, w[r, l]] for w in [0, 256) (win (R, 256))."""
+    out = jnp.zeros(w.shape, jnp.int32)
+    for t in range(256):
+        out = jnp.where(w == t, win[:, t:t + 1], out)
+    return out
+
+
+def classify(recs, out_rows: int):
+    """Per-byte classification from the sequence table.
+
+    Returns per-byte maps (out_rows, 128): is_lit, lit_src (absolute comp
+    position of each literal byte), local (match with root distance <
+    LOCAL_MAX), dloc (that distance), far + frank (window rank), plus
+    w_delta (out_rows, FAR_RANKS) far-window distances, total_out and the
+    combined err flag.
+    """
+    nseg = recs["r_lit_len"].shape[1]
+    out_start, col_base, total_out = seq_layout(recs)
+
+    def padT(x):
+        return jnp.transpose(jnp.pad(x, ((0, STEP_PAD - MAXSTEP), (0, 0))),
+                             (1, 0))
+
+    slabs = {}
+    fields = dict(start=jnp.transpose(out_start, (1, 0)),
+                  litlen=padT(recs["r_lit_len"]),
+                  litsrc=padT(recs["r_lit_src"]),
+                  off=padT(recs["r_off"]),
+                  mlen=padT(recs["r_mlen"]),
+                  live=padT(recs["r_live"]))
+
+    rowstart = (jax.lax.broadcasted_iota(jnp.int32, (out_rows, 1), 0)
+                * LANES)
+    k_r = jnp.sum((col_base <= rowstart).astype(jnp.int32), axis=1,
+                  keepdims=True) - 1
+    k_r = jnp.clip(k_r, 0, nseg - 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (out_rows, nseg), 1)
+    ohA = (cols == k_r).astype(jnp.float32)
+    ohB = (cols == jnp.minimum(k_r + 1, nseg - 1)).astype(jnp.float32)
+    for name, fT in fields.items():
+        f = fT.astype(jnp.float32)
+        a = jnp.dot(ohA, f, preferred_element_type=jnp.float32)
+        b = jnp.dot(ohB, f, preferred_element_type=jnp.float32)
+        slabs[name] = jnp.concatenate([a, b], axis=1).astype(jnp.int32)
+
+    k_end = jnp.sum((col_base <= rowstart + LANES - 1).astype(jnp.int32),
+                    axis=1, keepdims=True) - 1
+    hazard = ((k_end > k_r + 1) & (rowstart < total_out)).astype(jnp.int32)
+
+    j_abs = rowstart + jax.lax.broadcasted_iota(
+        jnp.int32, (out_rows, LANES), 1)
+    zb = jnp.zeros((out_rows, LANES), jnp.int32)
+    sel_litend, sel_delta, sel_m0, sel_off = zb, zb, zb, zb
+    sel_rank = jnp.full((out_rows, LANES), -1, jnp.int32)
+    far_cnt = jnp.zeros((out_rows, 1), jnp.int32)
+    far_over = jnp.zeros((out_rows, 1), jnp.int32)
+    w_delta = jnp.zeros((out_rows, FAR_RANKS), jnp.int32)
+    rank_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (out_rows, FAR_RANKS), 1)
+
+    for c in range(2 * STEP_PAD):
+        st = slabs["start"][:, c:c + 1]
+        ll = slabs["litlen"][:, c:c + 1]
+        ml = slabs["mlen"][:, c:c + 1]
+        lv = slabs["live"][:, c:c + 1]
+        offc = jnp.maximum(slabs["off"][:, c:c + 1], 1)
+        litend = st + ll
+        seqend = litend + ml
+        m0 = litend - offc
+        covers = (lv != 0) & (st < rowstart + LANES) & (seqend > rowstart)
+        # far = any byte of this (row, cand) has root distance >= LOCAL_MAX;
+        # the largest root distance in the row is at the last byte
+        last_j = jnp.minimum(rowstart + LANES - 1, seqend - 1)
+        rel_last = last_j - m0
+        droot_last = (rel_last // offc) * offc
+        has_far = covers & (ml > 0) & (last_j >= litend) \
+            & (droot_last >= LOCAL_MAX)
+        anchor = jnp.maximum(rowstart, litend)
+        dmul = ((anchor - m0) // offc) * offc
+        rank_here = jnp.where(has_far, far_cnt, -1)
+        w_delta = jnp.where((rank_iota == rank_here) & (rank_here >= 0),
+                            dmul, w_delta)
+        far_cnt = far_cnt + jnp.where(has_far, 1, 0)
+        far_over = jnp.maximum(
+            far_over, jnp.where(far_cnt > FAR_RANKS, 1, 0))
+
+        m = (lv != 0) & (st <= j_abs)
+        sel_litend = jnp.where(m, litend, sel_litend)
+        sel_delta = jnp.where(m, slabs["litsrc"][:, c:c + 1] - st,
+                              sel_delta)
+        sel_m0 = jnp.where(m, m0, sel_m0)
+        sel_off = jnp.where(m, offc, sel_off)
+        sel_rank = jnp.where(m, rank_here, sel_rank)
+
+    valid = j_abs < total_out
+    is_lit = valid & (j_abs < sel_litend)
+    is_match = valid & ~is_lit
+    bad = is_match & ((sel_off <= 0) | (sel_m0 < 0))
+    err = (jnp.max(jnp.where(bad, 1, 0)) + jnp.max(hazard)
+           + jnp.max(far_over) + jnp.max(recs["err"]))
+
+    offc = jnp.maximum(sel_off, 1)
+    rel = j_abs - sel_m0
+    droot = (rel // offc) * offc
+    local = is_match & (droot < LOCAL_MAX)
+    dloc = jnp.where(local, droot, 0)
+    far = is_match & ~local
+    frank = jnp.where(far, sel_rank, -1)
+    # a far byte whose cand was not registered (ml==0 impossible here, but
+    # rank -1 would mean a bookkeeping hole): flag
+    err = err + jnp.max(jnp.where(far & (frank < 0), 1, 0))
+    lit_src = jnp.where(is_lit, j_abs + sel_delta, 0)
+
+    return dict(is_lit=is_lit, lit_src=lit_src, local=local, dloc=dloc,
+                far=far, frank=frank, w_delta=w_delta, valid=valid,
+                total_out=total_out, err=err, j_abs=j_abs)
+
+
+def gather_literals(maps, comp_rows):
+    """Monotonic row-pair literal gather: out bytes <- comp[lit_src]."""
+    out_rows = maps["is_lit"].shape[0]
+    cr = comp_rows.shape[0]
+    src = jnp.where(maps["is_lit"], maps["lit_src"], 1 << 28)
+    src0 = jnp.min(src, axis=1, keepdims=True)
+    src0 = jnp.where(src0 == 1 << 28, 0, src0)
+    q = jnp.clip(src0 >> 7, 0, cr - 1)
+    crows = jax.lax.broadcasted_iota(jnp.int32, (out_rows, cr), 1)
+    cf = comp_rows.astype(jnp.float32)
+    winA = jnp.dot((crows == q).astype(jnp.float32), cf,
+                   preferred_element_type=jnp.float32)
+    winB = jnp.dot((crows == jnp.minimum(q + 1, cr - 1)).astype(
+        jnp.float32), cf, preferred_element_type=jnp.float32)
+    win = jnp.concatenate([winA, winB], axis=1).astype(jnp.int32)
+    w = jnp.clip(maps["lit_src"] - (q << 7), 0, 255)
+    return jnp.where(maps["is_lit"], _window_select(win, w), 0)
+
+
+def resolve_matches(maps, lit_out, out_rows: int, max_rounds: int = 24):
+    """Fixed-point match resolution.
+
+    lit_out: (out_rows, 128) with literal bytes placed, match bytes 0.
+    Local bytes (root distance < LOCAL_MAX) resolve via a delta-select
+    scan over the transposed output; far bytes via per-(row, rank)
+    constant-delta affine windows (MXU column gathers + per-lane sublane
+    roll alignment). Iterates until no byte changes (cross-sequence copy
+    chains converge at dependency depth).
+    """
+    is_m = maps["local"] | maps["far"]
+    # transposed views: position p = r*128 + l maps to T[l, r]
+    dloc_T = jnp.transpose(maps["dloc"], (1, 0))
+    local_T = jnp.transpose(maps["local"], (1, 0))
+    far_T = jnp.transpose(maps["far"], (1, 0))
+    frank_T = jnp.transpose(maps["frank"], (1, 0))
+    lit_T = jnp.transpose(lit_out, (1, 0))
+    w_delta = maps["w_delta"]  # (out_rows, FAR_RANKS)
+    rowstart = (jax.lax.broadcasted_iota(jnp.int32, (out_rows, 1), 0)
+                * LANES)
+    # far window descriptors per (row, rank): source base positions
+    wbase = rowstart - w_delta                     # (out_rows, FAR_RANKS)
+
+    def far_pass(cur_T):
+        """cur_T (128, out_rows) -> far-byte values, same shape.
+
+        For rank rho of out row r the aligned window is
+        out[wbase .. wbase+255] with wbase = 128 r - delta, gathered as a
+        3-column stack anchored at 128*(wbase>>7) (arithmetic shift: a
+        negative base selects column -1, whose one-hot is all-zero, so
+        leading out-of-range lanes read 0 and are never used).
+        """
+        curf = cur_T.astype(jnp.float32)            # (128, out_rows)
+        acc = jnp.zeros((LANES, out_rows), jnp.int32)
+        rows_i = jax.lax.broadcasted_iota(
+            jnp.int32, (out_rows, out_rows), 0)
+        for rho in range(FAR_RANKS):
+            base_q = wbase[:, rho:rho + 1] >> 7     # (out_rows, 1), >= -1
+            qT = jnp.transpose(base_q, (1, 0))      # (1, out_rows)
+            parts = []
+            for dq in range(3):
+                oh = (rows_i == qT + dq).astype(jnp.float32)
+                parts.append(jnp.dot(curf, oh,
+                                     preferred_element_type=jnp.float32))
+            stack = jnp.concatenate(parts, axis=0).astype(
+                jnp.int32)                          # (384, out_rows)
+            phi = jnp.transpose(
+                wbase[:, rho:rho + 1] & (LANES - 1), (1, 0))  # (1, R)
+            for bit in range(7):
+                sh = 1 << bit
+                rolled = jnp.roll(stack, -sh, axis=0)
+                stack = jnp.where((phi & sh) != 0, rolled, stack)
+            aligned = stack[:LANES, :]
+            take = far_T & (frank_T == rho)
+            acc = jnp.where(take, aligned, acc)
+        return acc
+
+    def one_round(cur_T):
+        # local delta scan
+        new_T = jnp.where(local_T, 0, cur_T)
+        for d in range(1, LOCAL_MAX):
+            m = local_T & (dloc_T == d)
+            new_T = jnp.where(m, _tshift_back(cur_T, d), new_T)
+        farv = far_pass(cur_T)
+        new_T = jnp.where(far_T, farv, new_T)
+        return jnp.where(local_T | far_T, new_T, cur_T)
+
+    def cond(carry):
+        cur_T, prev_T, it = carry
+        return (it < max_rounds) & jnp.any(cur_T != prev_T)
+
+    def body(carry):
+        cur_T, _, it = carry
+        return one_round(cur_T), cur_T, it + 1
+
+    first = one_round(lit_T)
+    cur_T, _, rounds = jax.lax.while_loop(
+        cond, body, (first, lit_T, jnp.int32(1)))
+    return jnp.transpose(cur_T, (1, 0)), rounds
+
+
+def decode_block_cpu(comp: bytes, out_size: int):
+    """Full v2 decode of one block on the host jnp pipeline (parity/test
+    driver; the TPU kernel wires the same phases around an SMEM walk).
+
+    Returns (out bytes, total_out, err int, rounds int).
+    """
+    need = -(-max(1, len(comp)) // LANES) + 2
+    nseg = 48  # shape bucket: one XLA compile per bucket, not per length
+    while nseg < need:
+        nseg *= 2
+    bt = np.zeros((nseg, LANES), np.int32)
+    arr = np.frombuffer(comp, np.uint8)
+    bt.reshape(-1)[:len(arr)] = arr
+    bt_T = jnp.asarray(bt.T.copy())
+    comp_rows = jnp.asarray(bt)
+    clen = jnp.int32(len(comp))
+
+    hops = _hops_jit(bt_T, clen)
+    exits = _sweep_jit(hops, clen)
+    entries, ok = walk_chain_np(exits, len(comp), nseg)
+    entry = jnp.asarray(entries.astype(np.int32))[None, :]
+    out_rows = -(-out_size // LANES)
+    out, total, err, rounds = _exec_jit(hops, entry, clen, comp_rows,
+                                        out_rows)
+    err = int(err) + (0 if ok else 1)
+    total = int(total)
+    data = np.asarray(out).astype(np.uint8).reshape(-1)[:total].tobytes()
+    return data, total, err, int(rounds)
+
+
+@jax.jit
+def _hops_jit(bt_T, clen):
+    return build_hops(bt_T, clen)
+
+
+@jax.jit
+def _sweep_jit(hops, clen):
+    return segment_sweep(hops, clen)
+
+
+@functools.partial(jax.jit, static_argnames=("out_rows",))
+def _exec_jit(hops, entry, clen, comp_rows, out_rows: int):
+    recs = rewalk(hops, entry, clen)
+    maps = classify(recs, out_rows)
+    lit = gather_literals(maps, comp_rows)
+    out, rounds = resolve_matches(maps, lit, out_rows)
+    return out, maps["total_out"], maps["err"], rounds

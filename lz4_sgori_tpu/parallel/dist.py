@@ -120,3 +120,49 @@ def initialize_multihost(coordinator_address: str | None = None,
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id)
+
+
+def assemble_container_sharded(comp, comp_len, mesh: Mesh,
+                               axis: str = BLOCK_AXIS):
+    """Explicit cross-shard ordered assembly (SURVEY.md §5 collective set):
+    all_gather the per-shard compressed sizes, derive global byte offsets,
+    and build the dense ordered payload with every block's bytes packed
+    back-to-back in original block order — the collective analog of the
+    reference returning per-chunk dstPos and the bdev writing chunks in
+    submission order (lz4e_compress.c:533, lz4e_req.c:191-198).
+
+    comp: uint8 [num_blocks, slot] sharded over `axis`; comp_len int32
+    sharded the same way. Returns (payload uint8 [total_cap], sizes int32
+    [num_blocks], total int32) all replicated, where total_cap =
+    num_blocks * slot and payload[:total] is the packed container body.
+
+    Collectives used: all_gather over ICI/DCN for sizes and the
+    slot-padded payloads; offsets via a cross-shard exclusive scan of the
+    gathered sizes. The ragged pack itself is a vectorized
+    prefix-sum/searchsorted program on replicated data — O(total) work,
+    no per-block host loop.
+    """
+    nblocks, slot = comp.shape
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(), P(), P()), check_vma=False)
+    def local(c, cl):
+        # ordered all-gathers: axis index 0..n-1 keeps original block order
+        sizes = jax.lax.all_gather(cl, axis, tiled=True)      # [nblocks]
+        full = jax.lax.all_gather(c, axis, tiled=True)        # [nb, slot]
+        offs = jnp.cumsum(sizes) - sizes                      # exclusive
+        total = offs[-1] + sizes[-1]
+        # dense pack: for every output byte t, find its block via
+        # searchsorted over offsets, then its byte within the block
+        cap = nblocks * slot
+        t = jnp.arange(cap, dtype=jnp.int32)
+        blk = jnp.searchsorted(offs, t, side="right").astype(jnp.int32) - 1
+        blk = jnp.clip(blk, 0, nblocks - 1)
+        within = t - offs[blk]
+        payload = jnp.where(t < total,
+                            full[blk, jnp.clip(within, 0, slot - 1)], 0)
+        return payload.astype(jnp.uint8), sizes, total.astype(jnp.int32)
+
+    return jax.jit(local)(comp, comp_len)

@@ -129,3 +129,22 @@ def test_parse_tiny_and_literal_only():
     for data in (b"", b"A", b"hello world!", bytes(13)):
         comp = golden.compress(data)
         check_stream(bytes(comp))
+
+
+@pytest.mark.parametrize("name", NAMES + ["zeros_64k", "text_large",
+                                          "random_jpeg_scale"])
+def test_full_decode_parity(fixtures, name):
+    data = fixtures[name][:4096]
+    comp = bytes(golden.compress(data))
+    out, total, err, rounds = V.decode_block_cpu(comp, 4096)
+    assert err == 0, (name, err)
+    assert total == len(data), (name, total, len(data))
+    assert out == data, name
+
+
+def test_full_decode_64k(fixtures):
+    data = fixtures["mixed"][:65536]
+    comp = bytes(golden.compress(data))
+    out, total, err, rounds = V.decode_block_cpu(comp, 65536)
+    assert err == 0 and total == len(data)
+    assert out == data
