@@ -70,14 +70,12 @@ def _tshift(arr, d: int):
     a = jnp.roll(arr, -dc, axis=1)
     if dl == 0:
         out = a
-        spill = dc
     else:
         b = jnp.roll(arr, -(dc + 1), axis=1)
         ar = jnp.roll(a, -dl, axis=0)
         br = jnp.roll(b, -dl, axis=0)
         row = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
         out = jnp.where(row < LANES - dl, ar, br)
-        spill = dc + 1
     col = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1)
     # exact zero fill: position p+d >= nseg*128 reads 0
     if dl == 0:
@@ -532,6 +530,19 @@ def _tshift_back(arr, d: int):
     return jnp.where(pos >= d, out, 0)
 
 
+def _tshift_back_dyn(arr, d):
+    """_tshift_back with a traced distance d >= 0."""
+    dc, dl = d // LANES, d % LANES
+    a = jnp.roll(arr, dc, axis=1)
+    b = jnp.roll(arr, dc + 1, axis=1)
+    ar = jnp.roll(a, dl, axis=0)
+    br = jnp.roll(b, dl, axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
+    out = jnp.where(row >= dl, ar, br)
+    pos = _pos_grid(arr.shape)
+    return jnp.where(pos >= d, out, 0)
+
+
 def seq_layout(recs):
     """Output-position assembly over the (MAXSTEP, NSEG) record slots:
     out_start (STEP_PAD, NSEG), col_base (1, NSEG), total_out scalar."""
@@ -746,11 +757,14 @@ def resolve_matches(maps, lit_out, out_rows: int, max_rounds: int = 24):
         return acc
 
     def one_round(cur_T):
-        # local delta scan
-        new_T = jnp.where(local_T, 0, cur_T)
-        for d in range(1, LOCAL_MAX):
+        # local delta scan: fori with dynamic rolls (pltpu.roll supports
+        # traced 2-D shifts on this toolchain; keeps the trace small)
+        def dstep(d, new_T):
             m = local_T & (dloc_T == d)
-            new_T = jnp.where(m, _tshift_back(cur_T, d), new_T)
+            return jnp.where(m, _tshift_back_dyn(cur_T, d), new_T)
+
+        new_T = jax.lax.fori_loop(1, LOCAL_MAX, dstep,
+                                  jnp.where(local_T, 0, cur_T))
         farv = far_pass(cur_T)
         new_T = jnp.where(far_T, farv, new_T)
         return jnp.where(local_T | far_T, new_T, cur_T)

@@ -8,9 +8,14 @@ jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# LZ4J_TPU_TESTS=1 runs the opt-in on-device lane (-m tpu): the real TPU
+# backend stays attached and compiled-kernel tests run. Default: CPU.
+TPU_LANE = os.environ.get("LZ4J_TPU_TESTS") == "1"
+
+if not TPU_LANE:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if "xla_force_host_platform_device_count" not in flags and not TPU_LANE:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
@@ -20,7 +25,8 @@ import jax  # noqa: E402
 # at interpreter start, overriding the JAX_PLATFORMS env var — pin the CPU
 # backend back before any backend initializes so the suite runs on the
 # simulated 8-device host mesh.
-jax.config.update("jax_platforms", "cpu")
+if not TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: repeat suite runs skip recompiles
 try:
@@ -73,3 +79,13 @@ def fixtures() -> dict:
         "structured": structured,
         "mixed": text_large + bytes(8192) + random_big[:8192] + text_small,
     }
+
+
+def pytest_collection_modifyitems(config, items):
+    """-m tpu tests need a real TPU backend (LZ4J_TPU_TESTS=1); everything
+    else is skipped in that lane to keep the on-device run focused."""
+    skip_tpu = pytest.mark.skip(reason="TPU lane: set LZ4J_TPU_TESTS=1 "
+                                       "and run on a TPU backend")
+    for item in items:
+        if "tpu" in item.keywords and not TPU_LANE:
+            item.add_marker(skip_tpu)
