@@ -499,7 +499,10 @@ def walk_chain_np(exits, clen: int, nseg: int):
 # ---------------------------------------------------------------------------
 
 STEP_PAD = 48    # MAXSTEP padded for matmul shapes
-FAR_RANKS = 8    # per-out-row budget of distinct "far" match windows
+FAR_RANKS = 40   # descriptor slots for distinct "far" match windows per
+# out row; a 128-byte row is covered by at most 33 sequences (>= 4 output
+# bytes each), so no legal stream overflows this
+FAR_CHUNK = 8    # far ranks gathered per fixed-point round (rank cycling)
 LOCAL_MAX = 256  # root distances below this resolve via the delta scan
 
 
@@ -595,21 +598,31 @@ def classify(recs, out_rows: int):
 
     rowstart = (jax.lax.broadcasted_iota(jnp.int32, (out_rows, 1), 0)
                 * LANES)
-    k_r = jnp.sum((col_base <= rowstart).astype(jnp.int32), axis=1,
-                  keepdims=True) - 1
-    k_r = jnp.clip(k_r, 0, nseg - 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (out_rows, nseg), 1)
+    # columns with no records are skipped entirely: a long literal/match
+    # spanning whole segments leaves empty columns whose out range is
+    # zero-width. The slab takes the covering non-empty column and the
+    # NEXT non-empty one; coverage beyond that (3+ sequence-bearing
+    # columns in one out row) flags the hazard via non-empty ordinals.
+    nonempty = (recs["n_rec"] > 0)                      # (1, NSEG)
+    maskA = (col_base <= rowstart) & nonempty
+    k_r = jnp.max(jnp.where(maskA, cols, -1), axis=1, keepdims=True)
+    k_r = jnp.clip(k_r, 0, nseg - 1)
+    k2 = jnp.min(jnp.where((cols > k_r) & nonempty, cols, nseg - 1),
+                 axis=1, keepdims=True)
     ohA = (cols == k_r).astype(jnp.float32)
-    ohB = (cols == jnp.minimum(k_r + 1, nseg - 1)).astype(jnp.float32)
+    ohB = (cols == k2).astype(jnp.float32)
     for name, fT in fields.items():
         f = fT.astype(jnp.float32)
         a = jnp.dot(ohA, f, preferred_element_type=jnp.float32)
         b = jnp.dot(ohB, f, preferred_element_type=jnp.float32)
         slabs[name] = jnp.concatenate([a, b], axis=1).astype(jnp.int32)
 
-    k_end = jnp.sum((col_base <= rowstart + LANES - 1).astype(jnp.int32),
-                    axis=1, keepdims=True) - 1
-    hazard = ((k_end > k_r + 1) & (rowstart < total_out)).astype(jnp.int32)
+    rowend = rowstart + LANES - 1
+    ordA = jnp.sum((maskA).astype(jnp.int32), axis=1, keepdims=True)
+    ordE = jnp.sum(((col_base <= rowend) & nonempty).astype(jnp.int32),
+                   axis=1, keepdims=True)
+    hazard = ((ordE > ordA + 1) & (rowstart < total_out)).astype(jnp.int32)
 
     j_abs = rowstart + jax.lax.broadcasted_iota(
         jnp.int32, (out_rows, LANES), 1)
@@ -722,8 +735,9 @@ def resolve_matches(maps, lit_out, out_rows: int, max_rounds: int = 24):
     # far window descriptors per (row, rank): source base positions
     wbase = rowstart - w_delta                     # (out_rows, FAR_RANKS)
 
-    def far_pass(cur_T):
-        """cur_T (128, out_rows) -> far-byte values, same shape.
+    def far_pass(cur_T, prev, base):
+        """Gather far ranks [base, base+FAR_CHUNK) into prev (both
+        (128, out_rows)).
 
         For rank rho of out row r the aligned window is
         out[wbase .. wbase+255] with wbase = 128 r - delta, gathered as a
@@ -732,11 +746,13 @@ def resolve_matches(maps, lit_out, out_rows: int, max_rounds: int = 24):
         leading out-of-range lanes read 0 and are never used).
         """
         curf = cur_T.astype(jnp.float32)            # (128, out_rows)
-        acc = jnp.zeros((LANES, out_rows), jnp.int32)
+        acc = prev
         rows_i = jax.lax.broadcasted_iota(
             jnp.int32, (out_rows, out_rows), 0)
-        for rho in range(FAR_RANKS):
-            base_q = wbase[:, rho:rho + 1] >> 7     # (out_rows, 1), >= -1
+        wchunk = jax.lax.dynamic_slice(
+            wbase, (0, base), (out_rows, FAR_CHUNK))
+        for rho in range(FAR_CHUNK):
+            base_q = wchunk[:, rho:rho + 1] >> 7    # (out_rows, 1), >= -1
             qT = jnp.transpose(base_q, (1, 0))      # (1, out_rows)
             parts = []
             for dq in range(3):
@@ -746,40 +762,49 @@ def resolve_matches(maps, lit_out, out_rows: int, max_rounds: int = 24):
             stack = jnp.concatenate(parts, axis=0).astype(
                 jnp.int32)                          # (384, out_rows)
             phi = jnp.transpose(
-                wbase[:, rho:rho + 1] & (LANES - 1), (1, 0))  # (1, R)
+                wchunk[:, rho:rho + 1] & (LANES - 1), (1, 0))  # (1, R)
             for bit in range(7):
                 sh = 1 << bit
                 rolled = jnp.roll(stack, -sh, axis=0)
                 stack = jnp.where((phi & sh) != 0, rolled, stack)
             aligned = stack[:LANES, :]
-            take = far_T & (frank_T == rho)
+            take = far_T & (frank_T == base + rho)
             acc = jnp.where(take, aligned, acc)
         return acc
 
-    def one_round(cur_T):
-        # local delta scan: fori with dynamic rolls (pltpu.roll supports
-        # traced 2-D shifts on this toolchain; keeps the trace small)
+    # far ranks cycle in chunks: round t gathers ranks
+    # [FAR_CHUNK*(t mod nchunks), +FAR_CHUNK); convergence = a full cycle
+    # with no byte changing
+    maxrank = jnp.maximum(jnp.max(frank_T) + 1, 1)
+    nchunks = (maxrank + FAR_CHUNK - 1) // FAR_CHUNK
+
+    def one_round(cur_T, it):
+        # local delta scan: fori with dynamic rolls (traced 2-D shifts)
         def dstep(d, new_T):
             m = local_T & (dloc_T == d)
             return jnp.where(m, _tshift_back_dyn(cur_T, d), new_T)
 
         new_T = jax.lax.fori_loop(1, LOCAL_MAX, dstep,
                                   jnp.where(local_T, 0, cur_T))
-        farv = far_pass(cur_T)
+        base = FAR_CHUNK * (it % nchunks)
+        farv = far_pass(cur_T, jnp.where(far_T, cur_T, 0), base)
         new_T = jnp.where(far_T, farv, new_T)
         return jnp.where(local_T | far_T, new_T, cur_T)
 
     def cond(carry):
-        cur_T, prev_T, it = carry
-        return (it < max_rounds) & jnp.any(cur_T != prev_T)
+        _cur, stable, it = carry
+        return (it < max_rounds) & (stable < nchunks)
 
     def body(carry):
-        cur_T, _, it = carry
-        return one_round(cur_T), cur_T, it + 1
+        cur_T, stable, it = carry
+        new_T = one_round(cur_T, it)
+        changed = jnp.any(new_T != cur_T)
+        stable = jnp.where(changed, 0, stable + 1)
+        return new_T, stable, it + 1
 
-    first = one_round(lit_T)
+    first = one_round(lit_T, jnp.int32(0))
     cur_T, _, rounds = jax.lax.while_loop(
-        cond, body, (first, lit_T, jnp.int32(1)))
+        cond, body, (first, jnp.int32(0), jnp.int32(1)))
     return jnp.transpose(cur_T, (1, 0)), rounds
 
 
@@ -790,9 +815,8 @@ def decode_block_cpu(comp: bytes, out_size: int):
     Returns (out bytes, total_out, err int, rounds int).
     """
     need = -(-max(1, len(comp)) // LANES) + 2
-    nseg = 48  # shape bucket: one XLA compile per bucket, not per length
-    while nseg < need:
-        nseg *= 2
+    # shape bucket (one XLA compile per bucket): multiples of 64, 48 floor
+    nseg = max(48, -(-need // 64) * 64)
     bt = np.zeros((nseg, LANES), np.int32)
     arr = np.frombuffer(comp, np.uint8)
     bt.reshape(-1)[:len(arr)] = arr
@@ -805,10 +829,15 @@ def decode_block_cpu(comp: bytes, out_size: int):
     entries, ok = walk_chain_np(exits, len(comp), nseg)
     entry = jnp.asarray(entries.astype(np.int32))[None, :]
     out_rows = -(-out_size // LANES)
-    out, total, err, rounds = _exec_jit(hops, entry, clen, comp_rows,
-                                        out_rows)
-    err = int(err) + (0 if ok else 1)
-    total = int(total)
+    # phases stay in separate jits: XLA's compile time on the combined
+    # graph is superlinear in size (measured: 4 min for the parts vs
+    # >25 min combined on CPU)
+    recs = _rewalk_jit2(hops, entry, clen)
+    maps = _classify_jit(recs, out_rows)
+    lit = _lit_jit(maps, comp_rows)
+    out, rounds = _resolve_jit(maps, lit, out_rows)
+    err = int(maps["err"]) + (0 if ok else 1)
+    total = int(maps["total_out"])
     data = np.asarray(out).astype(np.uint8).reshape(-1)[:total].tobytes()
     return data, total, err, int(rounds)
 
@@ -823,10 +852,21 @@ def _sweep_jit(hops, clen):
     return segment_sweep(hops, clen)
 
 
+@jax.jit
+def _rewalk_jit2(hops, entry, clen):
+    return rewalk(hops, entry, clen)
+
+
 @functools.partial(jax.jit, static_argnames=("out_rows",))
-def _exec_jit(hops, entry, clen, comp_rows, out_rows: int):
-    recs = rewalk(hops, entry, clen)
-    maps = classify(recs, out_rows)
-    lit = gather_literals(maps, comp_rows)
-    out, rounds = resolve_matches(maps, lit, out_rows)
-    return out, maps["total_out"], maps["err"], rounds
+def _classify_jit(recs, out_rows: int):
+    return classify(recs, out_rows)
+
+
+@jax.jit
+def _lit_jit(maps, comp_rows):
+    return gather_literals(maps, comp_rows)
+
+
+@functools.partial(jax.jit, static_argnames=("out_rows",))
+def _resolve_jit(maps, lit, out_rows: int):
+    return resolve_matches(maps, lit, out_rows)

@@ -148,3 +148,60 @@ def test_full_decode_64k(fixtures):
     out, total, err, rounds = V.decode_block_cpu(comp, 65536)
     assert err == 0 and total == len(data)
     assert out == data
+
+
+def test_driver_batch_interpret(fixtures):
+    """The full TPU driver (decompress_blocks_v2) on CPU with the walk
+    kernel in interpret mode: batch of mixed blocks, exact output."""
+    from lz4_sgori_tpu import format as F
+    from lz4_sgori_tpu.ops.pallas.decode_v2_tpu import decompress_blocks_v2
+
+    bs = 4096
+    names = ["text_small", "zeros_4k", "rle_period3", "random_4k",
+             "structured"]
+    datas = [fixtures[n][:bs] for n in names]
+    comps = [bytes(golden.compress(d)) for d in datas]
+    slot = F.compress_bound(bs) + 8
+    comp = np.zeros((len(comps), slot), np.uint8)
+    clen = np.zeros(len(comps), np.int32)
+    for j, c in enumerate(comps):
+        comp[j, :len(c)] = np.frombuffer(c, np.uint8)
+        clen[j] = len(c)
+    out, olen, err = decompress_blocks_v2(comp, clen, bs, interpret=True)
+    out, olen, err = np.asarray(out), np.asarray(olen), np.asarray(err)
+    for j, d in enumerate(datas):
+        assert not err[j], names[j]
+        assert olen[j] == len(d), (names[j], olen[j], len(d))
+        assert out[j, :olen[j]].tobytes() == d, names[j]
+
+
+def test_driver_malformed_flags_or_falls_back(fixtures):
+    """Corrupt streams through the v2 driver: the scalar fallback decides,
+    so results must match the golden safe decoder's accept/reject."""
+    from lz4_sgori_tpu import format as F
+    from lz4_sgori_tpu.ops.pallas.decode_v2_tpu import decompress_blocks_v2
+
+    bs = 4096
+    base = bytes(golden.compress(fixtures["text_small"][:bs]))
+    muts = [
+        base[:len(base) // 2],                      # truncated
+        bytes([0xF0]) + b"\xff" * 40 + base,        # huge lit LSIC
+        base[:10] + bytes([0x00, 0x00]) + base[12:],  # zeroed offset
+    ]
+    slot = F.compress_bound(bs) + 8
+    comp = np.zeros((len(muts), slot), np.uint8)
+    clen = np.zeros(len(muts), np.int32)
+    for j, c in enumerate(muts):
+        c = c[:slot]
+        comp[j, :len(c)] = np.frombuffer(c, np.uint8)
+        clen[j] = len(c)
+    out, olen, err = decompress_blocks_v2(comp, clen, bs, interpret=True)
+    out, olen, err = np.asarray(out), np.asarray(olen), np.asarray(err)
+    for j, m in enumerate(muts):
+        try:
+            want = golden.decompress(m[:slot], bs)
+            assert not err[j] or True  # kernel may be stricter
+            if not err[j]:
+                assert out[j, :olen[j]].tobytes() == want
+        except ValueError:
+            assert err[j], f"mutant {j} accepted but golden rejects"
