@@ -59,6 +59,12 @@ _POS_SHIFT = 1
 _ML_SHIFT = 20
 _CNT_BITS = 8          # aggregate word: low 8 bits seq count, rest out bytes
 
+# TPU MXU default f32 matmul precision is ONE bf16 pass: exact only for
+# integer values < 2^8. Dots that move positions/lengths (up to 2^17) must
+# run at HIGHEST (multi-pass, f32-exact for ints < 2^24). Byte-value
+# gathers (values <= 255) stay at default/full MXU rate.
+_EXACT = jax.lax.Precision.HIGHEST
+
 
 def _tshift(arr, d: int):
     """y[o, k] = arr at position p + d (transposed layout, zero fill past
@@ -555,8 +561,10 @@ def seq_layout(recs):
     col_total = jnp.sum(olen, axis=0, keepdims=True)
     cu = jnp.transpose(_tri_excl(nseg), (1, 0))
     col_base = jnp.dot(col_total.astype(jnp.float32), cu,
+                       precision=_EXACT,
                        preferred_element_type=jnp.float32).astype(jnp.int32)
     within = jnp.dot(_tri_excl(STEP_PAD), olen.astype(jnp.float32),
+                     precision=_EXACT,
                      preferred_element_type=jnp.float32).astype(jnp.int32)
     out_start = col_base + within
     total_out = jnp.sum(col_total) * 0 + (
@@ -614,8 +622,10 @@ def classify(recs, out_rows: int):
     ohB = (cols == k2).astype(jnp.float32)
     for name, fT in fields.items():
         f = fT.astype(jnp.float32)
-        a = jnp.dot(ohA, f, preferred_element_type=jnp.float32)
-        b = jnp.dot(ohB, f, preferred_element_type=jnp.float32)
+        a = jnp.dot(ohA, f, precision=_EXACT,
+                    preferred_element_type=jnp.float32)
+        b = jnp.dot(ohB, f, precision=_EXACT,
+                    preferred_element_type=jnp.float32)
         slabs[name] = jnp.concatenate([a, b], axis=1).astype(jnp.int32)
 
     rowend = rowstart + LANES - 1
@@ -803,9 +813,13 @@ def resolve_matches(maps, lit_out, out_rows: int, max_rounds: int = 24):
         return new_T, stable, it + 1
 
     first = one_round(lit_T, jnp.int32(0))
-    cur_T, _, rounds = jax.lax.while_loop(
+    cur_T, stable, rounds = jax.lax.while_loop(
         cond, body, (first, jnp.int32(0), jnp.int32(1)))
-    return jnp.transpose(cur_T, (1, 0)), rounds
+    # not converged (a full stable cycle never observed): the caller must
+    # treat the block as unresolved and fall back — never emit silently
+    # truncated fixed-point output
+    conv = (stable >= nchunks).astype(jnp.int32)
+    return jnp.transpose(cur_T, (1, 0)), rounds, conv
 
 
 def decode_block_cpu(comp: bytes, out_size: int):
@@ -835,8 +849,8 @@ def decode_block_cpu(comp: bytes, out_size: int):
     recs = _rewalk_jit2(hops, entry, clen)
     maps = _classify_jit(recs, out_rows)
     lit = _lit_jit(maps, comp_rows)
-    out, rounds = _resolve_jit(maps, lit, out_rows)
-    err = int(maps["err"]) + (0 if ok else 1)
+    out, rounds, conv = _resolve_jit(maps, lit, out_rows)
+    err = int(maps["err"]) + (0 if ok else 1) + (0 if int(conv) else 1)
     total = int(maps["total_out"])
     data = np.asarray(out).astype(np.uint8).reshape(-1)[:total].tobytes()
     return data, total, err, int(rounds)

@@ -63,7 +63,7 @@ def _walk_kernel(clen_ref, ea_ref, words_ref, ent_ref, smem_ea, smem_w,
     jax.lax.fori_loop(0, nseg, init, 0)
 
     def byte_at(p):
-        w = smem_w[p >> 7, (p >> 2) & 31]
+        w = smem_w[p >> 9, (p >> 2) & 127]  # words in 128-lane rows
         return jax.lax.shift_right_logical(w, (p & 3) * 8) & 255
 
     max_hops = nseg * (LANES // 2) + 16
@@ -122,27 +122,34 @@ def _walk_kernel(clen_ref, ea_ref, words_ref, ent_ref, smem_ea, smem_w,
 
 @functools.partial(jax.jit, static_argnames=("nseg", "interpret"))
 def _walk_blocks(ea, words, clen, nseg: int, interpret: bool = False):
-    """ea (nb, 128, nseg) int32 exit table; words (nb, 128, 32*nseg/128...)
-    packed comp words (nb, nseg, 32); clen (nb,). Returns (entries
-    (nb, nseg) int32 with -1 for empty segments, ok (nb,) bool)."""
+    """ea (nb, 128, nseg) int32 exit table; words (nb, nseg, 32) packed
+    comp words; clen (nb,). Returns (entries (nb, nseg) int32 with -1 for
+    empty segments, ok (nb,) bool). Mosaic block lane dims must be
+    128-aligned: ea pads its lane dim; words reshape to 128-lane rows."""
     nb = ea.shape[0]
+    nseg_w = -(-nseg // LANES) * LANES
+    ea_p = jnp.pad(ea, ((0, 0), (0, 0), (0, nseg_w - nseg)))
+    wrows = max(8, -(-(nseg * 32) // LANES // 8) * 8)
+    wflat = jnp.pad(words.reshape(nb, -1),
+                    ((0, 0), (0, wrows * LANES - nseg * 32)))
+    wrows_arr = wflat.reshape(nb, wrows, LANES)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, LANES, nseg), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((1, LANES, nseg_w), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nseg, 32), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((1, wrows, LANES), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, nseg), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((1, 8, nseg_w), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.SMEM((LANES, nseg), jnp.int32),
-            pltpu.SMEM((nseg, 32), jnp.int32),
-            pltpu.SMEM((8, nseg), jnp.int32),
+            pltpu.SMEM((LANES, nseg_w), jnp.int32),
+            pltpu.SMEM((wrows, LANES), jnp.int32),
+            pltpu.SMEM((8, nseg_w), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -150,10 +157,10 @@ def _walk_blocks(ea, words, clen, nseg: int, interpret: bool = False):
     [ent] = pl.pallas_call(
         functools.partial(_walk_kernel, nseg=nseg),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((nb, 8, nseg), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((nb, 8, nseg_w), jnp.int32)],
         interpret=interpret,
-    )(clen.astype(jnp.int32), ea, words)
-    return ent[:, 0, :], ent[:, 1, 0] != 0
+    )(clen.astype(jnp.int32), ea_p, wrows_arr)
+    return ent[:, 0, :nseg], ent[:, 1, 0] != 0
 
 
 # ---------------------------------------------------------------------------
@@ -200,16 +207,16 @@ def _literals_b(maps, comp_rows):
 
 @functools.partial(jax.jit, static_argnames=("out_rows",))
 def _resolve_b(maps, lit, out_rows: int):
-    out, rounds = jax.vmap(
+    out, rounds, conv = jax.vmap(
         functools.partial(V.resolve_matches, out_rows=out_rows))(maps, lit)
-    return out, rounds
+    return out, rounds, conv
 
 
 @functools.partial(jax.jit, static_argnames=("out_size",))
-def _pack_out(out, total, walk_ok, err, out_size: int):
+def _pack_out(out, total, walk_ok, err, conv, out_size: int):
     nb = out.shape[0]
     flat = out.reshape(nb, -1).astype(jnp.uint8)[:, :out_size]
-    errs = (err != 0) | (~walk_ok)
+    errs = (err != 0) | (~walk_ok) | (conv == 0)
     out_len = jnp.where(errs, 0, total)
     return flat, out_len.astype(jnp.int32), errs
 
@@ -232,9 +239,9 @@ def decompress_blocks_v2(comp, comp_len, out_size: int,
     recs = _rewalk_b(hops, entries, comp_len)
     maps = _classify_b(recs, out_rows)
     lit = _literals_b(maps, comp_rows)
-    out, _rounds = _resolve_b(maps, lit, out_rows)
+    out, _rounds, conv = _resolve_b(maps, lit, out_rows)
     flat, out_len, errs = _pack_out(out, maps["total_out"], walk_ok,
-                                    maps["err"], out_size)
+                                    maps["err"], conv, out_size)
 
     errs_np = np.asarray(errs)
     if errs_np.any():
