@@ -391,7 +391,13 @@ def decode_tapes(comp, clen, olen, out_cap: int, sr: int = 1024):
 
         st, stag = jax.lax.while_loop(
             cond, body, (st, jnp.zeros((sr, LANES), jnp.int32)))
-        out_acc = jax.lax.dynamic_update_slice(out_acc, stag, (w * sr, 0))
+        # Commit the closed window at slot w. dynamic_update_slice does not
+        # lower in Pallas TPU kernels; n_win is static and small, so a
+        # slot-select rebuild lowers as plain vector selects.
+        parts = [jnp.where(_bcast(w == s, sr), stag,
+                           out_acc[s * sr:(s + 1) * sr])
+                 for s in range(n_win)]
+        out_acc = jnp.concatenate(parts, axis=0) if n_win > 1 else parts[0]
         return st, out_acc
 
     st, out_acc = jax.lax.fori_loop(0, n_win, win_body, (st, out_acc))

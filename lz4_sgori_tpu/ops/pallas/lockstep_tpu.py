@@ -19,6 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from . import lockstep as LK
 
@@ -89,6 +90,10 @@ def decompress_blocks_lockstep(comp, comp_len, out_size: int,
             jax.ShapeDtypeStruct((ng, 1, LANES), jnp.int32),
         ],
         interpret=interpret,
+        # the machine carries the whole out tape as a VMEM value (plus a
+        # transient copy at window commits): lift the 16 MB scoped default
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(tapes, clen2, olen)
 
     data = jax.vmap(LK.unpack_tapes)(out)              # (ng, 128, out_cap)
