@@ -1,0 +1,349 @@
+"""Lane-lockstep LZ4 decoder v4: ref-resident tapes + banded window scans.
+
+Same decomposition as lockstep.py (one block per VPU lane, the exact
+sequential safe-decode state machine of lz4e_decompress.c:222-445 run in
+SIMD across 128 blocks), re-engineered around the measured cost model
+(docs/Performance.md round-2 tables):
+
+  * v3 carried the comp and out tapes as VMEM *values* and re-scanned
+    them with full band-select extracts every round (~1 ns/elem: 2.6 us
+    per extract at 64 KiB) — that scan was >80%% of the round cost.
+  * v4 keeps both tapes in VMEM *refs*. The compressed stream is parsed
+    from a 512 B per-lane register window refilled every ~20 rounds
+    (amortized banded scan); match sources beyond the staging window
+    read the out ref through a *banded* scan that only walks the slab
+    range [min lane row, max lane row] with cheap dynamic-sublane reads
+    (4.6 ns / 8 rows) — and are skipped entirely (lax.cond) on rounds
+    where every live match source is inside the staging window.
+  * window commits are single dynamic-sublane stores to the out ref
+    instead of a full-tape select rebuild.
+  * the kernel wrapper sorts blocks by compressed length so lockstep
+    groups hold similar-cost blocks: straggler lanes no longer gate 127
+    cheap ones (mixed corpora interleave ~50-round and ~700-round
+    blocks; sorting separates them).
+
+Error contract, output bytes, and per-lane state transitions are
+identical to lockstep.decode_tapes (golden.decompress semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ... import format as F
+from . import lockstep as LK
+from .lockstep import (
+    TOK, LLSIC, LIT, OFF, MLSIC, MATCH, DONE, ERR,
+    CAP, CAPW, LSIC_P, FR,
+    _iota_rows, _bcast, _sb, _lsic_scan,
+    byteshift_up, rotate_up, funnel, byte_mask, place, extract_bytes,
+)
+
+LANES = LK.LANES
+EW = 40            # parse window words exposed per round (160 B)
+BAND = 64          # rows per banded-scan slab (multiple of 8)
+LW = 128           # local comp window rows (512 B per lane)
+RESERVE = 176      # refill when fewer than RESERVE bytes remain valid
+
+
+def extract_rows_banded(ref, g, row0, w: int, R: int):
+    """Per-lane row window from a VMEM ref, scanning only live slabs.
+
+    out[i, L] = ref[g, row0[L] + i, L]; rows outside [0, R) read 0.
+    Walks slabs [min(row0)//BAND, max(row0)//BAND + K] with dynamic
+    sublane reads — cost scales with the cross-lane row *span*, not the
+    tape size. Requires R % BAND == 0.
+    """
+    assert R % BAND == 0
+    nslab = R // BAND
+    blog = BAND.bit_length() - 1
+    # slabs covering any window: start offset < BAND plus w rows
+    K = -(-(w + BAND - 1) // BAND)
+    b_idx = row0 >> blog                      # window-start slab, per lane
+    b_lo = jnp.min(b_idx)
+    b_hi = jnp.max(b_idx) + K                 # exclusive
+    regs = [jnp.zeros((BAND, LANES), jnp.int32) for _ in range(K)]
+
+    def body(b, regs):
+        bc = jnp.clip(b, 0, nslab - 1)
+        if g is None:
+            slab = ref[pl.ds(bc * BAND, BAND), :]
+        else:
+            slab = ref[g, pl.ds(bc * BAND, BAND), :]
+        return tuple(
+            jnp.where(_bcast(b_idx == b - k, BAND), slab, regs[k])
+            for k in range(K))
+
+    regs = jax.lax.fori_loop(b_lo, b_hi, body, tuple(regs))
+    win = jnp.concatenate(regs, axis=0)
+    s = row0 - (b_idx << blog)
+    out = rotate_up(win, s, K * BAND)[:w]
+    absr = _bcast(row0, w) + _iota_rows(w)
+    return jnp.where((absr >= 0) & (absr < R), out, 0)
+
+
+def extract_bytes_banded(ref, g, bytepos, w: int, R: int):
+    """Byte-aligned per-lane window from a ref: out[i,L] = LE word of ref
+    bytes bytepos[L]+4i..+3 (w static words <= BAND - 1)."""
+    win = extract_rows_banded(ref, g, bytepos >> 2, w + 1, R)
+    return byteshift_up(win, bytepos & 3)[:w]
+
+
+def _round(st, stag, loc_ref, locb_ref, scr_ref, comp_ref, out_ref, g,
+           clen, olen, win_base, CR: int, OR: int, nofar: bool = False,
+           noplace: bool = False, nostag: bool = False):
+    """Advance every unparked lane through up to one sequence."""
+    SR = stag.shape[0]
+    win_end = win_base + SR * 4
+    mode, ip, op = st["mode"], st["ip"], st["op"]
+    lit, mlen, acc = st["lit"], st["mlen"], st["acc"]
+    ml0, d = st["ml0"], st["d"]
+    run = (mode < DONE) & (op < win_end)
+
+    # ---- local comp window refill (amortized banded scan) ----
+    # The window persists in scratch; refills run under pl.when so quiet
+    # rounds skip the scan (lax.cond with vector results does not lower).
+    t = ip - locb_ref[...]
+    need = jnp.any(run & (t > LW * 4 - RESERVE))
+
+    @pl.when(need)
+    def _refill():
+        loc_ref[...] = extract_bytes_banded(comp_ref, g, ip, LW, CR)
+        locb_ref[...] = ip
+
+    loc_b = locb_ref[...]
+    t = ip - loc_b
+    cw = funnel(loc_ref[...], t, EW)         # byte 0 == comp[ip]
+    b = [_sb(cw, j) for j in range(LSIC_P + 2)]
+
+    # ---- phase H: literal header (token + inline LSIC / continuation) ----
+    tok_l = run & (mode == TOK)
+    cont_l = run & (mode == LLSIC)
+    ll0 = b[0] >> F.ML_BITS
+    tok_ml0 = b[0] & F.ML_MASK
+    ext_t, cons_t, live_t = _lsic_scan(b[1:1 + LSIC_P], tok_l & (ll0 == 15))
+    ext_c, cons_c, live_c = _lsic_scan(b[0:LSIC_P], cont_l)
+    to_llsic = (tok_l & live_t) | (cont_l & live_c)
+    to_lit = (tok_l & ~live_t) | (cont_l & ~live_c)
+    lit_new = jnp.where(tok_l, ll0 + jnp.where(ll0 == 15, ext_t, 0),
+                        acc + ext_c)
+    cons = jnp.where(tok_l, 1 + cons_t, jnp.where(cont_l, cons_c, 0))
+    acc = jnp.where(to_llsic, lit_new, acc)
+    ml0 = jnp.where(tok_l, tok_ml0, ml0)
+    ip = ip + cons
+    err_h = to_lit & ((ip > clen) | (ip + lit_new > clen)
+                      | (op + lit_new > olen))
+    mode = jnp.where(err_h, ERR,
+                     jnp.where(to_llsic, LLSIC,
+                               jnp.where(to_lit, LIT, mode)))
+    lit = jnp.where(to_lit & ~err_h, lit_new, lit)
+
+    # ---- phase L: literal range copy (source: the parse window) ----
+    l_run = run & (mode == LIT)
+    avail = EW * 4 - cons - 3
+    k_l = jnp.clip(jnp.minimum(jnp.minimum(lit, win_end - op),
+                               jnp.minimum(jnp.int32(CAP), avail)), 0)
+    k_l = jnp.where(l_run, k_l, 0)
+    lit_src = funnel(cw, cons, CAPW)
+    if not noplace:                          # noplace: timing probe only
+        stag = place(stag, lit_src, op - win_base, k_l)
+    op = op + k_l
+    ip = ip + k_l
+    cons = cons + k_l
+    lit = lit - k_l
+    lit_done = l_run & (lit == 0)
+    at_end = lit_done & (ip == clen)     # literal-only last sequence
+    mode = jnp.where(at_end, DONE, jnp.where(lit_done, OFF, mode))
+
+    # ---- phase O: offset + match-length header ----
+    o_l = run & (mode == OFF)
+    m_l = run & (mode == MLSIC)
+    ow = funnel(cw, cons, 4)
+    ob = [_sb(ow, j) for j in range(LSIC_P + 2)]
+    o16 = ob[0] | (ob[1] << 8)
+    err_o = o_l & ((ip + 2 > clen) | (o16 == 0) | (o16 > op))
+    o_l = o_l & ~err_o
+    ext_o, cons_o, live_o = _lsic_scan(ob[2:2 + LSIC_P], o_l & (ml0 == 15))
+    ext_m, cons_m, live_m = _lsic_scan(ob[0:LSIC_P], m_l)
+    to_mlsic = (o_l & live_o) | (m_l & live_m)
+    to_match = (o_l & ~live_o) | (m_l & ~live_m)
+    mlen_new = jnp.where(
+        o_l, F.MINMATCH + ml0 + jnp.where(ml0 == 15, ext_o, 0),
+        acc + ext_m)
+    cons2 = jnp.where(o_l, 2 + cons_o, jnp.where(m_l, cons_m, 0))
+    acc = jnp.where(to_mlsic, mlen_new, acc)
+    d = jnp.where(o_l, o16, d)
+    ip = ip + cons2
+    err_m = to_match & ((ip > clen) | (op + mlen_new > olen))
+    mode = jnp.where(err_o | err_m, ERR,
+                     jnp.where(to_mlsic, MLSIC,
+                               jnp.where(to_match, MATCH, mode)))
+    mlen = jnp.where(to_match & ~err_m, mlen_new, mlen)
+
+    # ---- phase M: match range copy (doubling distance) ----
+    m_run = run & (mode == MATCH)
+    k_m = jnp.clip(jnp.minimum(jnp.minimum(mlen, win_end - op),
+                               jnp.minimum(jnp.int32(CAP), d)), 0)
+    k_m = jnp.where(m_run, k_m, 0)
+    src = jnp.where(m_run, op - d, op)       # parked lanes read nothing
+    if nostag:                               # nostag: timing probe only
+        s_stg = _bcast(src * 0, CAPW)
+    else:
+        s_stg = extract_bytes(stag, src - win_base, CAPW)
+    far = jnp.any(m_run & (src < win_base))
+    scr_ref[...] = _bcast(src * 0, CAPW)
+
+    if not nofar:                            # nofar: timing probe only
+        @pl.when(far)                        # committed-history reads only
+        def _far_read():                     # when some lane reaches back
+            scr_ref[...] = extract_bytes_banded(out_ref, g, src, CAPW, OR)
+
+    s_com = scr_ref[...]
+    bnd = byte_mask(CAPW, jnp.zeros_like(src), win_base - src)
+    msrc = (s_com & bnd) | (s_stg & ~bnd)
+    if not noplace:                          # noplace: timing probe only
+        stag = place(stag, msrc, op - win_base, k_m)
+    op = op + k_m
+    mlen = mlen - k_m
+    d = jnp.where(m_run & (k_m == d) & (d < CAP), 2 * d, d)
+    mode = jnp.where(m_run & (mlen == 0), TOK, mode)
+
+    st2 = dict(mode=mode, ip=ip, op=op, lit=lit, mlen=mlen, acc=acc,
+               ml0=ml0, d=d, rounds=st["rounds"] + 1)
+    return st2, stag
+
+
+def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
+            loc_ref, locb_ref, scr_ref, *, CR: int, OR: int, sr: int,
+            nofar: bool = False, noplace: bool = False,
+            nostag: bool = False, debug_rounds: bool = False):
+    g = 0                                    # block index handled by specs
+    clen = clen_ref[0]
+    olen = olen_ref[0]
+    n_win = OR // sr
+
+    # Derive every loop-carried init from a loaded (laned) value: literal
+    # zeros get a replicated Mosaic layout, and the while carry cannot
+    # relayout the body's laned outputs back to replicated.
+    z = clen * 0
+    st = dict(mode=z, ip=z, op=z, lit=z, mlen=z, acc=z, ml0=z, d=z,
+              rounds=z)
+    locb_ref[...] = z - LW * 8                 # poisoned: first refill fires
+    max_rounds = jnp.int32(4 * (CR + OR) + 2048)
+
+    def win_body(w, st):
+        win_base = w * sr * 4
+
+        def cond(c):
+            st, _stag = c
+            active = (st["mode"] < DONE) & (st["op"] < win_base + sr * 4)
+            return jnp.any(active) & jnp.all(st["rounds"] < max_rounds)
+
+        def body(c):
+            st, stag = c
+            return _round(st, stag, loc_ref, locb_ref, scr_ref, comp_ref,
+                          out_ref, g, clen, olen, win_base, CR, OR, nofar,
+                          noplace, nostag)
+
+        st, stag = jax.lax.while_loop(
+            cond, body, (st, _bcast(st["mode"] * 0, sr)))
+        out_ref[g, pl.ds(w * sr, sr), :] = stag
+        return st
+
+    st = jax.lax.fori_loop(0, n_win, win_body, st)
+    err = (st["mode"] != DONE).astype(jnp.int32)
+    len_ref[0] = jnp.where(err != 0, 0, st["op"])
+    err_ref[0] = st["rounds"] if debug_rounds else err
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_size", "sr", "interpret", "sort",
+                                    "nofar", "noplace", "nostag",
+                                    "debug_rounds"))
+def decompress_blocks_lockstep_v4(comp, comp_len, out_size: int,
+                                  sr: int = 512, interpret: bool = False,
+                                  sort: bool = True, nofar: bool = False,
+                                  noplace: bool = False, nostag: bool = False,
+                                  debug_rounds: bool = False):
+    """Decode a batch of independent LZ4 blocks (v4 lockstep engine).
+
+    comp uint8 [B, slot] zero-padded, comp_len int32 [B], static out_size
+    -> (out uint8 [B, out_size], out_len int32 [B], err bool [B]); err
+    mirrors golden.decompress's DecodeError cases exactly
+    (lz4e_decompress.c:62-460 semantics).
+    """
+    comp = jnp.asarray(comp, jnp.uint8)
+    comp_len = jnp.asarray(comp_len, jnp.int32)
+    nb, slot = comp.shape
+    while sr > FR and sr * 4 > max(out_size, 4 * FR):
+        sr //= 2
+    sr = max(sr, BAND)                       # OR must stay BAND-aligned
+    out_cap = -(-max(out_size, 1) // (4 * sr)) * (4 * sr)
+    ng = -(-nb // LANES)
+    pad = ng * LANES - nb
+    if pad:
+        comp = jnp.pad(comp, ((0, pad), (0, 0)))
+        comp_len = jnp.pad(comp_len, (0, pad), constant_values=1)
+        comp = comp.at[nb:, 0].set(0)
+    if sort and ng > 1:
+        # group blocks of similar cost: straggler lanes gate only their
+        # own group (decode rounds track sequence count ~ comp ratio)
+        order = jnp.argsort(comp_len)
+        inv = jnp.argsort(order)
+        comp = comp[order]
+        comp_len = comp_len[order]
+    g8 = comp.reshape(ng, LANES, slot)
+    gl = comp_len.reshape(ng, LANES)
+    tapes = jax.vmap(LK.pack_tapes)(g8, gl)            # (ng, CR, 128)
+    cr = tapes.shape[1]
+    if cr % BAND:
+        tapes = jnp.pad(tapes, ((0, 0), (0, BAND - cr % BAND), (0, 0)))
+        cr = tapes.shape[1]
+    orr = out_cap // 4
+    olen = jnp.full((ng, 1, LANES), out_size, jnp.int32)
+    clen2 = gl.reshape(ng, 1, LANES)
+
+    out, out_len, err = pl.pallas_call(
+        functools.partial(_kernel, CR=cr, OR=orr, sr=sr, nofar=nofar,
+                          noplace=noplace, nostag=nostag,
+                          debug_rounds=debug_rounds),
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, cr, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, orr, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ng, orr, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((ng, 1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((ng, 1, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((LW, LANES), jnp.int32),     # local comp window
+            pltpu.VMEM((1, LANES), jnp.int32),      # its per-lane base
+            pltpu.VMEM((CAPW, LANES), jnp.int32),   # far-match buffer
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(tapes, clen2, olen)
+
+    data = jax.vmap(LK.unpack_tapes)(out)              # (ng, 128, out_cap)
+    data = data.reshape(ng * LANES, out_cap)
+    out_len = out_len.reshape(-1)
+    err = err.reshape(-1)
+    if sort and ng > 1:
+        data = data[inv]
+        out_len = out_len[inv]
+        err = err[inv]
+    return (data[:nb, :out_size], out_len[:nb], err[:nb].astype(bool))
