@@ -47,8 +47,8 @@ from .lockstep import (
 LANES = LK.LANES
 EW = 40            # parse window words exposed per round (160 B)
 BAND = 64          # rows per banded-scan slab (multiple of 8)
-LW = 128           # local comp window rows (512 B per lane)
-RESERVE = 176      # refill when fewer than RESERVE bytes remain valid
+LW = 128           # local comp window rows per unroll step (512 B per lane)
+RESERVE = 176      # per-step refill reserve (max bytes one sub-step consumes)
 
 
 def extract_rows_banded(ref, g, row0, w: int, R: int):
@@ -95,9 +95,19 @@ def extract_bytes_banded(ref, g, bytepos, w: int, R: int):
 
 
 def _round(st, stag, loc_ref, locb_ref, scr_ref, comp_ref, out_ref, g,
-           clen, olen, win_base, CR: int, OR: int, nofar: bool = False,
-           noplace: bool = False, nostag: bool = False):
-    """Advance every unparked lane through up to one sequence."""
+           clen, olen, win_base, CR: int, OR: int, LWU: int,
+           nofar: bool = False, noplace: bool = False,
+           nostag: bool = False, allow_far: bool = True,
+           do_refill: bool = True):
+    """Advance every unparked lane through up to one sequence.
+
+    allow_far=False (unrolled sub-steps > 0): a lane whose match source
+    reaches below win_base parks in MATCH mode until the next round's
+    sub-step 0, so the whole round fires at most ONE committed-history
+    banded scan — the measured ~1 us fixed sync cost of that scan
+    amortizes over `unroll` sequences. do_refill=False skips the comp
+    window refill check (the round wrapper refills once per round with a
+    reserve covering all sub-steps)."""
     SR = stag.shape[0]
     win_end = win_base + SR * 4
     mode, ip, op = st["mode"], st["ip"], st["op"]
@@ -108,13 +118,15 @@ def _round(st, stag, loc_ref, locb_ref, scr_ref, comp_ref, out_ref, g,
     # ---- local comp window refill (amortized banded scan) ----
     # The window persists in scratch; refills run under pl.when so quiet
     # rounds skip the scan (lax.cond with vector results does not lower).
-    t = ip - locb_ref[...]
-    need = jnp.any(run & (t > LW * 4 - RESERVE))
+    if do_refill:
+        U = LWU // LW                        # unroll factor (LWU = U * LW)
+        t = ip - locb_ref[...]
+        need = jnp.any(run & (t > LWU * 4 - U * RESERVE))
 
-    @pl.when(need)
-    def _refill():
-        loc_ref[...] = extract_bytes_banded(comp_ref, g, ip, LW, CR)
-        locb_ref[...] = ip
+        @pl.when(need)
+        def _refill():
+            loc_ref[...] = extract_bytes_banded(comp_ref, g, ip, LWU, CR)
+            locb_ref[...] = ip
 
     loc_b = locb_ref[...]
     t = ip - loc_b
@@ -187,6 +199,10 @@ def _round(st, stag, loc_ref, locb_ref, scr_ref, comp_ref, out_ref, g,
 
     # ---- phase M: match range copy (doubling distance) ----
     m_run = run & (mode == MATCH)
+    if not allow_far:
+        # unrolled sub-step: far lanes park in MATCH until the next
+        # round's sub-step 0 (k_m forced 0; no committed-history scan)
+        m_run = m_run & (op - d >= win_base)
     k_m = jnp.clip(jnp.minimum(jnp.minimum(mlen, win_end - op),
                                jnp.minimum(jnp.int32(CAP), d)), 0)
     k_m = jnp.where(m_run, k_m, 0)
@@ -195,17 +211,21 @@ def _round(st, stag, loc_ref, locb_ref, scr_ref, comp_ref, out_ref, g,
         s_stg = _bcast(src * 0, CAPW)
     else:
         s_stg = extract_bytes(stag, src - win_base, CAPW)
-    far = jnp.any(m_run & (src < win_base))
-    scr_ref[...] = _bcast(src * 0, CAPW)
+    if allow_far:
+        far = jnp.any(m_run & (src < win_base))
+        scr_ref[...] = _bcast(src * 0, CAPW)
 
-    if not nofar:                            # nofar: timing probe only
-        @pl.when(far)                        # committed-history reads only
-        def _far_read():                     # when some lane reaches back
-            scr_ref[...] = extract_bytes_banded(out_ref, g, src, CAPW, OR)
+        if not nofar:                        # nofar: timing probe only
+            @pl.when(far)                    # committed-history reads only
+            def _far_read():                 # when some lane reaches back
+                scr_ref[...] = extract_bytes_banded(out_ref, g, src,
+                                                    CAPW, OR)
 
-    s_com = scr_ref[...]
-    bnd = byte_mask(CAPW, jnp.zeros_like(src), win_base - src)
-    msrc = (s_com & bnd) | (s_stg & ~bnd)
+        s_com = scr_ref[...]
+        bnd = byte_mask(CAPW, jnp.zeros_like(src), win_base - src)
+        msrc = (s_com & bnd) | (s_stg & ~bnd)
+    else:
+        msrc = s_stg                         # near sources only
     if not noplace:                          # noplace: timing probe only
         stag = place(stag, msrc, op - win_base, k_m)
     op = op + k_m
@@ -220,7 +240,7 @@ def _round(st, stag, loc_ref, locb_ref, scr_ref, comp_ref, out_ref, g,
 
 def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
             loc_ref, locb_ref, scr_ref, *, CR: int, OR: int, sr: int,
-            nofar: bool = False, noplace: bool = False,
+            unroll: int = 1, nofar: bool = False, noplace: bool = False,
             nostag: bool = False, debug_rounds: bool = False):
     g = 0                                    # block index handled by specs
     clen = clen_ref[0]
@@ -233,7 +253,8 @@ def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
     z = clen * 0
     st = dict(mode=z, ip=z, op=z, lit=z, mlen=z, acc=z, ml0=z, d=z,
               rounds=z)
-    locb_ref[...] = z - LW * 8                 # poisoned: first refill fires
+    LWU = LW * unroll
+    locb_ref[...] = z - LWU * 8                # poisoned: first refill fires
     max_rounds = jnp.int32(4 * (CR + OR) + 2048)
 
     def win_body(w, st):
@@ -246,9 +267,13 @@ def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
 
         def body(c):
             st, stag = c
-            return _round(st, stag, loc_ref, locb_ref, scr_ref, comp_ref,
-                          out_ref, g, clen, olen, win_base, CR, OR, nofar,
-                          noplace, nostag)
+            for u in range(unroll):
+                st, stag = _round(
+                    st, stag, loc_ref, locb_ref, scr_ref, comp_ref,
+                    out_ref, g, clen, olen, win_base, CR, OR, LWU,
+                    nofar=nofar, noplace=noplace, nostag=nostag,
+                    allow_far=(u == 0), do_refill=(u == 0))
+            return st, stag
 
         st, stag = jax.lax.while_loop(
             cond, body, (st, _bcast(st["mode"] * 0, sr)))
@@ -262,11 +287,12 @@ def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("out_size", "sr", "interpret", "sort",
-                                    "nofar", "noplace", "nostag",
+                   static_argnames=("out_size", "sr", "unroll", "interpret",
+                                    "sort", "nofar", "noplace", "nostag",
                                     "debug_rounds"))
 def decompress_blocks_lockstep_v4(comp, comp_len, out_size: int,
-                                  sr: int = 512, interpret: bool = False,
+                                  sr: int = 512, unroll: int = 2,
+                                  interpret: bool = False,
                                   sort: bool = True, nofar: bool = False,
                                   noplace: bool = False, nostag: bool = False,
                                   debug_rounds: bool = False):
@@ -309,8 +335,8 @@ def decompress_blocks_lockstep_v4(comp, comp_len, out_size: int,
     clen2 = gl.reshape(ng, 1, LANES)
 
     out, out_len, err = pl.pallas_call(
-        functools.partial(_kernel, CR=cr, OR=orr, sr=sr, nofar=nofar,
-                          noplace=noplace, nostag=nostag,
+        functools.partial(_kernel, CR=cr, OR=orr, sr=sr, unroll=unroll,
+                          nofar=nofar, noplace=noplace, nostag=nostag,
                           debug_rounds=debug_rounds),
         grid=(ng,),
         in_specs=[
@@ -329,7 +355,7 @@ def decompress_blocks_lockstep_v4(comp, comp_len, out_size: int,
             jax.ShapeDtypeStruct((ng, 1, LANES), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((LW, LANES), jnp.int32),     # local comp window
+            pltpu.VMEM((LW * unroll, LANES), jnp.int32),  # local comp window
             pltpu.VMEM((1, LANES), jnp.int32),      # its per-lane base
             pltpu.VMEM((CAPW, LANES), jnp.int32),   # far-match buffer
         ],
@@ -346,4 +372,6 @@ def decompress_blocks_lockstep_v4(comp, comp_len, out_size: int,
         data = data[inv]
         out_len = out_len[inv]
         err = err[inv]
+    if debug_rounds:
+        return data[:nb, :out_size], out_len[:nb], err[:nb]
     return (data[:nb, :out_size], out_len[:nb], err[:nb].astype(bool))

@@ -24,13 +24,14 @@ def main():
     groups = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     sr = int(sys.argv[3]) if len(sys.argv) > 3 else 512
     sort = bool(int(sys.argv[4])) if len(sys.argv) > 4 else True
+    unroll = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     nofar = bool(int(os.environ.get("V4_NOFAR", "0")))
     noplace = bool(int(os.environ.get("V4_NOPLACE", "0")))
     nostag = bool(int(os.environ.get("V4_NOSTAG", "0")))
     dbg_rounds = bool(int(os.environ.get("V4_ROUNDS", "0")))
     timing_only = nofar or noplace or nostag
-    kw = dict(nofar=nofar, noplace=noplace, nostag=nostag,
-              debug_rounds=dbg_rounds)
+    kw = dict(unroll=unroll, nofar=nofar, noplace=noplace,
+              nostag=nostag, debug_rounds=dbg_rounds)
     bs = bs_kib * 1024
     nb = groups * 128
 
