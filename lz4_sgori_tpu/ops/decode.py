@@ -123,8 +123,10 @@ def decompress_blocks_device(comp, comp_len, out_size: int,
     count to the next power of two (with valid empty blocks) so recurring
     calls hit a small set of compiled shapes, then trims.
 
-    impl: "auto" picks the Pallas TPU kernel on a TPU backend and the
-    portable XLA program elsewhere; "pallas"/"xla" force one.
+    impl: "auto" picks the lane-lockstep Pallas engine on a TPU backend
+    (any block size; 128 blocks per grid cell) and the portable XLA
+    program elsewhere; "lockstep"/"pallas"/"xla" force an engine
+    ("pallas" is the round-1 scalar-core kernel, kept for comparison).
     """
     comp = jnp.asarray(comp)
     comp_len = jnp.asarray(comp_len)
@@ -134,14 +136,16 @@ def decompress_blocks_device(comp, comp_len, out_size: int,
         comp = jnp.pad(comp, ((0, nbp - nb), (0, 0)))
         # a zero byte is a valid empty terminal block
         comp_len = jnp.pad(comp_len, (0, nbp - nb), constant_values=1)
-    # the kernel's SMEM mirrors bound the block size it can decode;
-    # larger blocks (the 4 KB-4 MB envelope's upper end) use the portable
-    # XLA program
-    from .pallas.decode_kernel import PALLAS_MAX_BLOCK
-    use_pallas = impl == "pallas" or (
-        impl == "auto" and jax.default_backend() == "tpu"
-        and out_size <= PALLAS_MAX_BLOCK)
-    if use_pallas:
+    on_tpu = jax.default_backend() == "tpu"
+    if impl == "lockstep" or (impl == "auto" and on_tpu):
+        from .pallas.lockstep_v4 import decompress_blocks_lockstep_v4
+        # single-window staging for small blocks: the committed-history
+        # scan never fires when the whole block fits one window
+        sr = 1024 if out_size <= 4096 else 512
+        out, out_len, err = decompress_blocks_lockstep_v4(
+            comp, comp_len, out_size, sr=sr, unroll=2,
+            interpret=not on_tpu)
+    elif impl == "pallas":
         from .pallas import decompress_blocks_pallas
         out, out_len, err = decompress_blocks_pallas(comp, comp_len, out_size)
     else:
