@@ -122,11 +122,17 @@ def _round(st, stag, loc_ref, locb_ref, scr_ref, comp_ref, out_ref, g,
         U = LWU // LW                        # unroll factor (LWU = U * LW)
         t = ip - locb_ref[...]
         need = jnp.any(run & (t > LWU * 4 - U * RESERVE))
+        # clamp finished lanes into the live span: the banded scan walks
+        # [min row, max row] across lanes, and a DONE lane's ip parked at
+        # its tape end would stretch (and pay for) that whole walk
+        live = mode < DONE
+        ip_lo = jnp.min(jnp.where(live, ip, jnp.int32(0x40000000)))
+        ipc = jnp.where(live, ip, ip_lo)
 
         @pl.when(need)
         def _refill():
-            loc_ref[...] = extract_bytes_banded(comp_ref, g, ip, LWU, CR)
-            locb_ref[...] = ip
+            loc_ref[...] = extract_bytes_banded(comp_ref, g, ipc, LWU, CR)
+            locb_ref[...] = ipc
 
     loc_b = locb_ref[...]
     t = ip - loc_b
@@ -212,13 +218,20 @@ def _round(st, stag, loc_ref, locb_ref, scr_ref, comp_ref, out_ref, g,
     else:
         s_stg = extract_bytes(stag, src - win_base, CAPW)
     if allow_far:
-        far = jnp.any(m_run & (src < win_base))
+        is_far = m_run & (src < win_base)
+        far = jnp.any(is_far)
+        # clamp non-far lanes to the far minimum: the banded scan walks
+        # [min row, max row] across lanes, and a near lane's src (just
+        # below the current window) would stretch the walk from the
+        # deepest far source all the way up to the write frontier
+        far_lo = jnp.min(jnp.where(is_far, src, jnp.int32(0x40000000)))
+        scan_src = jnp.where(is_far, src, far_lo)
         scr_ref[...] = _bcast(src * 0, CAPW)
 
         if not nofar:                        # nofar: timing probe only
             @pl.when(far)                    # committed-history reads only
             def _far_read():                 # when some lane reaches back
-                scr_ref[...] = extract_bytes_banded(out_ref, g, src,
+                scr_ref[...] = extract_bytes_banded(out_ref, g, scan_src,
                                                     CAPW, OR)
 
         s_com = scr_ref[...]
