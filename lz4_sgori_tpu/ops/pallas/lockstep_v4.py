@@ -51,13 +51,16 @@ LW = 128           # local comp window rows per unroll step (512 B per lane)
 RESERVE = 176      # per-step refill reserve (max bytes one sub-step consumes)
 
 
-def extract_rows_banded(ref, g, row0, w: int, R: int):
+def extract_rows_banded(ref, g, row0, w: int, R: int, bounds=None):
     """Per-lane row window from a VMEM ref, scanning only live slabs.
 
     out[i, L] = ref[g, row0[L] + i, L]; rows outside [0, R) read 0.
     Walks slabs [min(row0)//BAND, max(row0)//BAND + K] with dynamic
     sublane reads — cost scales with the cross-lane row *span*, not the
-    tape size. Requires R % BAND == 0.
+    tape size. Requires R % BAND == 0. `bounds` optionally supplies the
+    (b_lo, b_hi) slab walk range as precomputed scalars so callers can
+    batch the vector->scalar reductions with other round-start reduces
+    (each dependent reduce-to-scalar costs ~1 us of sync latency).
     """
     assert R % BAND == 0
     nslab = R // BAND
@@ -65,8 +68,11 @@ def extract_rows_banded(ref, g, row0, w: int, R: int):
     # slabs covering any window: start offset < BAND plus w rows
     K = -(-(w + BAND - 1) // BAND)
     b_idx = row0 >> blog                      # window-start slab, per lane
-    b_lo = jnp.min(b_idx)
-    b_hi = jnp.max(b_idx) + K                 # exclusive
+    if bounds is None:
+        b_lo = jnp.min(b_idx)
+        b_hi = jnp.max(b_idx) + K             # exclusive
+    else:
+        b_lo, b_hi = bounds[0], bounds[1] + K
     regs = [jnp.zeros((BAND, LANES), jnp.int32) for _ in range(K)]
 
     def body(b, regs):
@@ -87,10 +93,11 @@ def extract_rows_banded(ref, g, row0, w: int, R: int):
     return jnp.where((absr >= 0) & (absr < R), out, 0)
 
 
-def extract_bytes_banded(ref, g, bytepos, w: int, R: int):
+def extract_bytes_banded(ref, g, bytepos, w: int, R: int, bounds=None):
     """Byte-aligned per-lane window from a ref: out[i,L] = LE word of ref
-    bytes bytepos[L]+4i..+3 (w static words <= BAND - 1)."""
-    win = extract_rows_banded(ref, g, bytepos >> 2, w + 1, R)
+    bytes bytepos[L]+4i..+3 (w static words <= BAND - 1). `bounds`: see
+    extract_rows_banded (slab range of bytepos >> 2)."""
+    win = extract_rows_banded(ref, g, bytepos >> 2, w + 1, R, bounds)
     return byteshift_up(win, bytepos & 3)[:w]
 
 
