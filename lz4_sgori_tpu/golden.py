@@ -259,3 +259,152 @@ def decompress(src: bytes | bytearray | memoryview, max_output: int) -> bytes:
             match += 1
 
     return bytes(out)
+
+
+def dense_candidates(src: bytes, hashlog: int = 13):
+    """Pass-1 oracle of the TPU v2 encoder: the parse-independent dense
+    candidate sweep.
+
+    Every position q in [0, n-4] is inserted in order into a hash4 table
+    whose entries pack ((q+1) & 0xFFFF) | (low16 of read32(q)) << 16 —
+    one int32 per entry, the layout the kernel's fused get+put scan uses.
+    Returns cand_d: cand_d[p] = offset to the latest prior position with
+    the same hash, already pre-filtered by the packed val16 (0 = no
+    candidate). The 16-bit packing makes the offset window <= 65535
+    structural (no separate DISTANCE_MAX check), at the cost of missing
+    the vanishing set of candidates whose packed position is 0 mod 2^16.
+    Unlike the reference's table (insert only at probed positions,
+    lz4e_compress.c:291-336,459-464), insertion density does not depend
+    on the parse, which is what lets the TPU sweep batch positions.
+    """
+    n = len(src)
+    cand_d = [0] * n
+    if n < 4:
+        return cand_d
+    table = [0] * (1 << hashlog)
+    rd32 = [int.from_bytes(src[i:i + 4], "little") for i in range(n - 3)]
+    for p in range(n - 3):
+        v = rd32[p]
+        h = F.hash4(v, hashlog)
+        s = table[h]
+        table[h] = ((p + 1) & 0xFFFF) | ((v & 0xFFFF) << 16)
+        if s == 0:
+            continue
+        d = (p + 1 - (s & 0xFFFF)) & 0xFFFF
+        if d != 0 and (s >> 16) == (v & 0xFFFF):
+            cand_d[p] = d
+    return cand_d
+
+
+def compress_dense(src: bytes | bytearray | memoryview,
+                   acceleration: int = 1, hashlog: int = 13) -> bytes:
+    """Greedy LZ4 compress with the DENSE candidate rule — the byte-exact
+    oracle of the TPU lockstep v2 encoder (ops/pallas/lockstep_enc2.py).
+
+    Parse structure (skip-accelerated search, backward catch-up, forward
+    extension to matchlimit, immediate rematch, mflimit/LASTLITERALS
+    bounds, LSIC emission) mirrors compress()/lz4e_compress.c:218-534;
+    only the candidate source differs: dense_candidates() above instead
+    of the parse-coupled single-probe table. Output decodes with any LZ4
+    decoder; measured aggregate size is ~0.996x LZ4_compress_default on
+    the bench corpus (tools/dense_ratio_sim.py).
+    """
+    src = bytes(src)
+    n = len(src)
+    if n > F.MAX_INPUT_SIZE:
+        raise ValueError(f"input too large: {n} > {F.MAX_INPUT_SIZE}")
+    if acceleration < 1:
+        acceleration = F.ACCELERATION_DEFAULT
+    dst = bytearray()
+
+    def rd32(i: int) -> int:
+        return int.from_bytes(src[i:i + 4], "little")
+
+    anchor = 0
+    if n >= F.MIN_LENGTH:
+        cand_d = dense_candidates(src, hashlog)
+        mflimit = n - F.MFLIMIT
+        matchlimit = n - F.LASTLITERALS
+        pos = 1
+        while True:
+            # --- skip-accelerated search over precomputed candidates ---
+            fpos = pos
+            step = 1
+            search_match_nb = acceleration << F.SKIPTRIGGER
+            found = False
+            while True:
+                if fpos + step > mflimit + 1:
+                    break
+                pos = fpos
+                fpos += step
+                step = search_match_nb >> F.SKIPTRIGGER
+                search_match_nb += 1
+                d = cand_d[pos]
+                if d and rd32(pos - d) == rd32(pos):
+                    mpos = pos - d
+                    found = True
+                    break
+            if not found:
+                break
+
+            while pos > anchor and mpos > 0 and src[pos - 1] == src[mpos - 1]:
+                pos -= 1
+                mpos -= 1
+
+            lit_len = pos - anchor
+            token_at = len(dst)
+            dst.append(0)
+            if lit_len >= F.RUN_MASK:
+                token = F.RUN_MASK << F.ML_BITS
+                rem = lit_len - F.RUN_MASK
+                while rem >= 255:
+                    dst.append(255)
+                    rem -= 255
+                dst.append(rem)
+            else:
+                token = lit_len << F.ML_BITS
+            dst += src[anchor:pos]
+
+            while True:  # _next_match
+                offset = pos - mpos
+                dst += offset.to_bytes(2, "little")
+                p = pos + F.MINMATCH
+                m = mpos + F.MINMATCH
+                count_limit = matchlimit - p
+                mc = 0
+                while mc < count_limit and src[p + mc] == src[m + mc]:
+                    mc += 1
+                pos = p + mc
+                if mc >= F.ML_MASK:
+                    token += F.ML_MASK
+                    rem = mc - F.ML_MASK
+                    while rem >= 255:
+                        dst.append(255)
+                        rem -= 255
+                    dst.append(rem)
+                else:
+                    token += mc
+                dst[token_at] = token
+                anchor = pos
+                break
+            if pos > mflimit:
+                break
+            # No separate immediate-rematch probe (lz4e_compress.c:486-493):
+            # the next search starts AT pos with a fresh schedule, so its
+            # first probe IS the rematch (the dense sweep already inserted
+            # every in-match position, a superset of the reference's pos-2
+            # refill at lz4e_compress.c:459-464). A rematch hit emits the
+            # same zero-literal token through the normal sequence path.
+
+    last_run = n - anchor
+    if last_run >= F.RUN_MASK:
+        dst.append(F.RUN_MASK << F.ML_BITS)
+        rem = last_run - F.RUN_MASK
+        while rem >= 255:
+            dst.append(255)
+            rem -= 255
+        dst.append(rem)
+    else:
+        dst.append(last_run << F.ML_BITS)
+    dst += src[anchor:]
+    return bytes(dst)

@@ -123,10 +123,11 @@ def decompress_blocks_device(comp, comp_len, out_size: int,
     count to the next power of two (with valid empty blocks) so recurring
     calls hit a small set of compiled shapes, then trims.
 
-    impl: "auto" picks the lane-lockstep Pallas engine on a TPU backend
-    (any block size; 128 blocks per grid cell) and the portable XLA
-    program elsewhere; "lockstep"/"pallas"/"xla" force an engine
-    ("pallas" is the round-1 scalar-core kernel, kept for comparison).
+    impl: "auto" picks the lane-lockstep ring Pallas engine (v6) on a
+    TPU backend (any block size; 128 blocks per grid cell) and the
+    portable XLA program elsewhere; "lockstep"/"lockstep_v4"/"pallas"/
+    "xla" force an engine ("pallas" is the round-1 scalar-core kernel,
+    "lockstep_v4" the windowed round-2 engine, kept for comparison).
     """
     comp = jnp.asarray(comp)
     comp_len = jnp.asarray(comp_len)
@@ -138,9 +139,14 @@ def decompress_blocks_device(comp, comp_len, out_size: int,
         comp_len = jnp.pad(comp_len, (0, nbp - nb), constant_values=1)
     on_tpu = jax.default_backend() == "tpu"
     if impl == "lockstep" or (impl == "auto" and on_tpu):
+        from .pallas.lockstep_v6 import decompress_blocks_lockstep_v6
+        # a 2 KiB ring covers most match offsets; small blocks shrink it
+        # in the wrapper (ring <= ~block size)
+        out, out_len, err = decompress_blocks_lockstep_v6(
+            comp, comp_len, out_size, sr=512, unroll=4,
+            interpret=not on_tpu)
+    elif impl == "lockstep_v4":
         from .pallas.lockstep_v4 import decompress_blocks_lockstep_v4
-        # single-window staging for small blocks: the committed-history
-        # scan never fires when the whole block fits one window
         sr = 1024 if out_size <= 4096 else 512
         out, out_len, err = decompress_blocks_lockstep_v4(
             comp, comp_len, out_size, sr=sr, unroll=2,

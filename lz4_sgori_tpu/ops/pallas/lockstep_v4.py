@@ -51,53 +51,58 @@ LW = 128           # local comp window rows per unroll step (512 B per lane)
 RESERVE = 176      # per-step refill reserve (max bytes one sub-step consumes)
 
 
-def extract_rows_banded(ref, g, row0, w: int, R: int, bounds=None):
+def extract_rows_banded(ref, g, row0, w: int, R: int, bounds=None,
+                        band: int = BAND):
     """Per-lane row window from a VMEM ref, scanning only live slabs.
 
     out[i, L] = ref[g, row0[L] + i, L]; rows outside [0, R) read 0.
-    Walks slabs [min(row0)//BAND, max(row0)//BAND + K] with dynamic
+    Walks slabs [min(row0)//band, max(row0)//band + K] with dynamic
     sublane reads — cost scales with the cross-lane row *span*, not the
-    tape size. Requires R % BAND == 0. `bounds` optionally supplies the
+    tape size. Requires R % band == 0. `bounds` optionally supplies the
     (b_lo, b_hi) slab walk range as precomputed scalars so callers can
     batch the vector->scalar reductions with other round-start reduces
-    (each dependent reduce-to-scalar costs ~1 us of sync latency).
+    (each dependent reduce-to-scalar costs ~1 us of sync latency; pass
+    bounds computed with the SAME band). `band` trades per-visit work
+    for visit count: wide spans (committed-history far scans) amortize
+    better with 256-row slabs.
     """
-    assert R % BAND == 0
-    nslab = R // BAND
-    blog = BAND.bit_length() - 1
-    # slabs covering any window: start offset < BAND plus w rows
-    K = -(-(w + BAND - 1) // BAND)
+    assert R % band == 0
+    nslab = R // band
+    blog = band.bit_length() - 1
+    # slabs covering any window: start offset < band plus w rows
+    K = -(-(w + band - 1) // band)
     b_idx = row0 >> blog                      # window-start slab, per lane
     if bounds is None:
         b_lo = jnp.min(b_idx)
         b_hi = jnp.max(b_idx) + K             # exclusive
     else:
         b_lo, b_hi = bounds[0], bounds[1] + K
-    regs = [jnp.zeros((BAND, LANES), jnp.int32) for _ in range(K)]
+    regs = [jnp.zeros((band, LANES), jnp.int32) for _ in range(K)]
 
     def body(b, regs):
         bc = jnp.clip(b, 0, nslab - 1)
         if g is None:
-            slab = ref[pl.ds(bc * BAND, BAND), :]
+            slab = ref[pl.ds(bc * band, band), :]
         else:
-            slab = ref[g, pl.ds(bc * BAND, BAND), :]
+            slab = ref[g, pl.ds(bc * band, band), :]
         return tuple(
-            jnp.where(_bcast(b_idx == b - k, BAND), slab, regs[k])
+            jnp.where(_bcast(b_idx == b - k, band), slab, regs[k])
             for k in range(K))
 
     regs = jax.lax.fori_loop(b_lo, b_hi, body, tuple(regs))
     win = jnp.concatenate(regs, axis=0)
     s = row0 - (b_idx << blog)
-    out = rotate_up(win, s, K * BAND)[:w]
+    out = rotate_up(win, s, K * band)[:w]
     absr = _bcast(row0, w) + _iota_rows(w)
     return jnp.where((absr >= 0) & (absr < R), out, 0)
 
 
-def extract_bytes_banded(ref, g, bytepos, w: int, R: int, bounds=None):
+def extract_bytes_banded(ref, g, bytepos, w: int, R: int, bounds=None,
+                        band: int = BAND):
     """Byte-aligned per-lane window from a ref: out[i,L] = LE word of ref
-    bytes bytepos[L]+4i..+3 (w static words <= BAND - 1). `bounds`: see
+    bytes bytepos[L]+4i..+3 (w static words <= band - 1). `bounds`: see
     extract_rows_banded (slab range of bytepos >> 2)."""
-    win = extract_rows_banded(ref, g, bytepos >> 2, w + 1, R, bounds)
+    win = extract_rows_banded(ref, g, bytepos >> 2, w + 1, R, bounds, band)
     return byteshift_up(win, bytepos & 3)[:w]
 
 

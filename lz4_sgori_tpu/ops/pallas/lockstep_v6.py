@@ -48,6 +48,7 @@ from .lockstep_v4 import BAND, EW, LW, RESERVE, extract_bytes_banded
 
 LANES = LK.LANES
 FH = 64            # flush granularity in rows (== BAND: slab-aligned)
+FBAND = 64         # far-scan slab rows (256 measured slower end-to-end)
 BIG = 0x40000000   # plain int: a jnp scalar here would be captured as a
                    # constant by pallas kernel bodies
 
@@ -278,7 +279,8 @@ def _round(st, stag, fl, served, loc_ref, locb_ref, scr_ref, clen, olen):
 
 def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
             loc_ref, locb_ref, scr_ref, fl_ref, *, CR: int, OR: int,
-            sr: int, unroll: int = 4, debug_rounds: bool = False):
+            sr: int, unroll: int = 4, debug_rounds: bool = False,
+            nofar: bool = False):
     g = 0
     clen = clen_ref[0]
     olen = olen_ref[0]
@@ -293,6 +295,7 @@ def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
     max_rounds = jnp.int32(4 * (CR + OR) + 2048)
     margin = 2 * CAP * unroll + 8            # max advance between checks
     blog = BAND.bit_length() - 1
+    fblog = FBAND.bit_length() - 1
     fhlog = FH.bit_length() - 1
     rspan = sr * 4
 
@@ -324,8 +327,8 @@ def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
         src_f = jnp.where(served, op - d, BIG)
         far_lo = jnp.min(src_f)
         scan_src = jnp.where(served, op - d, far_lo)
-        fb_lo = far_lo >> (2 + blog)
-        fb_hi = jnp.max(jnp.where(served, op - d, 0)) >> (2 + blog)
+        fb_lo = far_lo >> (2 + fblog)
+        fb_hi = jnp.max(jnp.where(served, op - d, 0)) >> (2 + fblog)
         opr = op >> 2
         nfl = jnp.maximum(((opr - fl) >> fhlog) << fhlog, 0)
         wb_lo = jnp.min(jnp.where(nfl > 0, fl, BIG)) >> blog
@@ -344,12 +347,17 @@ def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
                        bounds=(wb_lo, wb_hi))
             fl_ref[...] = fl + nfl
 
-        @pl.when(((packed >> 8) & 255) != 0)
-        def _far_read():
-            # runs after the flush: committed bytes below fl*4 include
-            # this round's flushed rows
-            scr_ref[...] = extract_bytes_banded(
-                out_ref, g, scan_src, CAPW, OR, bounds=(fb_lo, fb_hi))
+        if not nofar:                        # nofar: timing probe only
+            @pl.when(((packed >> 8) & 255) != 0)
+            def _far_read():
+                # runs after the flush: committed bytes below fl*4
+                # include this round's flushed rows. Measured: 256-row
+                # slabs LOSE to 64-row here (16.3 vs 13.2 ms end-to-end)
+                # — wider visits pay more in selects+rotate than they
+                # save in iterations.
+                scr_ref[...] = extract_bytes_banded(
+                    out_ref, g, scan_src, CAPW, OR, bounds=(fb_lo, fb_hi),
+                    band=FBAND)
 
         fl2 = fl_ref[...]
         none = served != served              # all-false, layout-derived
@@ -372,12 +380,13 @@ def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("out_size", "sr", "unroll", "interpret",
-                                    "sort", "debug_rounds"))
+                                    "sort", "debug_rounds", "nofar"))
 def decompress_blocks_lockstep_v6(comp, comp_len, out_size: int,
                                   sr: int = 512, unroll: int = 4,
                                   interpret: bool = False,
                                   sort: bool = True,
-                                  debug_rounds: bool = False):
+                                  debug_rounds: bool = False,
+                                  nofar: bool = False):
     """Decode a batch of independent LZ4 blocks (v6 ring engine).
 
     comp uint8 [B, slot] zero-padded, comp_len int32 [B], static out_size
@@ -391,7 +400,7 @@ def decompress_blocks_lockstep_v6(comp, comp_len, out_size: int,
     while sr > FR and sr * 4 > 2 * max(out_size, 2 * FR):
         sr //= 2                             # ring no bigger than ~output
     sr = max(sr, BAND)
-    out_cap = -(-max(out_size, 1) // (4 * BAND)) * (4 * BAND)
+    out_cap = -(-max(out_size, 1) // (4 * FBAND)) * (4 * FBAND)
     ng = -(-nb // LANES)
     pad = ng * LANES - nb
     if pad:
@@ -416,7 +425,7 @@ def decompress_blocks_lockstep_v6(comp, comp_len, out_size: int,
 
     out, out_len, err = pl.pallas_call(
         functools.partial(_kernel, CR=cr, OR=orr, sr=sr, unroll=unroll,
-                          debug_rounds=debug_rounds),
+                          debug_rounds=debug_rounds, nofar=nofar),
         grid=(ng,),
         in_specs=[
             pl.BlockSpec((1, cr, LANES), lambda g: (g, 0, 0)),

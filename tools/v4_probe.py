@@ -101,7 +101,9 @@ def main():
 
     run_n(1)
     best = float("inf")
-    K = 8
+    # small workloads need more repeats: the axon proxy adds +-15 ms of
+    # fetch jitter and min-of-differences biases low when K*T ~ jitter
+    K = 64 if bs <= 16 * 1024 and groups <= 8 else 8
     for _ in range(3):
         t0 = time.perf_counter()
         run_n(1)

@@ -26,8 +26,9 @@ def main():
     sort = bool(int(sys.argv[4])) if len(sys.argv) > 4 else True
     unroll = int(sys.argv[5]) if len(sys.argv) > 5 else 4
     dbg_rounds = bool(int(os.environ.get("V6_ROUNDS", "0")))
-    timing_only = False
-    kw = dict(unroll=unroll, debug_rounds=dbg_rounds)
+    nofar = bool(int(os.environ.get("V6_NOFAR", "0")))
+    timing_only = nofar
+    kw = dict(unroll=unroll, debug_rounds=dbg_rounds, nofar=nofar)
     bs = bs_kib * 1024
     nb = groups * 128
 
@@ -41,6 +42,33 @@ def main():
     raw_np, rlen_np = split_blocks(data, bs)
     comps = [native.compress(raw_np[j, :rlen_np[j]].tobytes())
              for j in range(nb)]
+    # V6_KEY=rounds: pre-order blocks by simulated solo decode rounds
+    # (the oracle grouping key) and disable the kernel's clen sort —
+    # quantifies what a perfect scheduling hint would buy.
+    if os.environ.get("V6_KEY") == "rounds":
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__))))
+        from round_sim import parse_sequences
+        from round_sim4 import RingLane
+
+        def solo_rounds(c):
+            ln = RingLane(parse_sequences(c), bs)
+            r = 0
+            while ln.mode != 6:
+                ln.step(sr * 4)
+                ln.fl = max(ln.fl, ln.op - sr * 4 // 2)
+                r += 1
+            return r
+
+        keys = [solo_rounds(c) for c in comps]
+        order = np.argsort(np.asarray(keys), kind="stable")
+        perm = list(order)
+        comps = [comps[i] for i in perm]
+        raw_np = raw_np[perm]
+        rlen_np = rlen_np[perm]
+        sort = False
+        print(f"[v6] oracle key: solo rounds min={min(keys)} "
+              f"max={max(keys)}", flush=True)
     slot = -(-(max(len(c) for c in comps) + 8) // 32) * 32
     comp = np.zeros((nb, slot), np.uint8)
     clen = np.zeros(nb, np.int32)
@@ -97,7 +125,9 @@ def main():
 
     run_n(1)
     best = float("inf")
-    K = 8
+    # small workloads need more repeats: the axon proxy adds +-15 ms of
+    # fetch jitter and min-of-differences biases low when K*T ~ jitter
+    K = 64 if bs <= 16 * 1024 and groups <= 8 else 8
     for _ in range(3):
         t0 = time.perf_counter()
         run_n(1)
