@@ -1,0 +1,634 @@
+"""Lane-lockstep LZ4 encoder v2: dense-candidate two-pass engine.
+
+The round-2 v1 encoder (lockstep_enc.py) is byte-identical to
+LZ4_compress_default but architecturally slow: every probe round pays a
+full-table per-lane gather (~1 ns/row/lane over an 8192-row hashLog-13
+table) plus full-tape source extracts, because the reference's table is
+parse-coupled — which positions get inserted depends on which get probed
+(lz4e_compress.c:291-336,459-464).
+
+v2 decouples them. Its contract is golden.compress_dense: candidates
+come from a parse-INDEPENDENT dense sweep (every position inserted, in
+order, into a hash4/hashLog-13 table of packed ``(pos+1)&0xFFFF |
+val16<<16`` words), which the parse then consumes read-only. Output is
+byte-exact to compress_dense, decodes with any LZ4 decoder, and measures
+*smaller* than LZ4_compress_default in aggregate (0.996x @64 KiB,
+0.918x @256 KiB blocks — tools/dense_ratio_sim.py, test_golden).
+
+Pass 1 (candidate sweep), the batchable half: K1=16 consecutive
+positions per round per lane. Source rows are UNIFORM across lanes (all
+lanes sweep position p0 = r*K1 together), so source reads are plain
+dynamic slices — no banded scans. The hash-table round is one fused
+band loop over the per-lane (8192,128) table: each query SELECTS its
+64-row band into a register window (its get) and conditionally
+overwrites its row (its put), in exact position order; after the loop
+each query extracts its row with one 6-stage rotate. The displaced
+entry IS the candidate; it pre-filters by val16 and lands as a 16-bit
+offset in the cand tape (two positions packed per int32 row).
+
+Pass 2 (parse & emit): the sequential greedy parse, lockstep across 128
+lanes, with zero per-position table work:
+
+  * a search round evaluates up to K1 skip-schedule probes against a
+    register window of the cand tape: schedule offsets are marked on a
+    window iota (membership loop in registers), the first marked offset
+    with a nonzero d16 wins (one priority reduce), and a second replay
+    loop advances the per-lane (fpos, step, smn) state exactly through
+    the consumed probes — NO per-probe random reads;
+  * a hit defers full verification to a VFY round whose operands the
+    round wrapper banded-loads once (src[pos-8..] and src[mpos-8..]);
+    catch-up (lz4e_compress.c:338-349) and forward extension run in the
+    same round; a val16 false positive simply resumes the schedule —
+    byte-identical to the oracle, which re-verifies with read32;
+  * emission reuses the v6 decoder's output machinery: fused one-round
+    emission for short sequences, streamed header/literal/tail phases
+    for long ones, all through a per-lane output ring with shared banded
+    flushes (lockstep_v6.place_ring/flush_ring);
+  * the immediate-rematch path (lz4e_compress.c:486-493) is the merged
+    schedule: each sequence end starts a fresh search AT the new anchor,
+    whose first probe is the rematch probe.
+
+Reference semantics preserved per lz4e_compress.c: skip acceleration
+(:296-307), catch-up (:338-349), MFLIMIT / matchlimit bounds (:234-235),
+LSIC emission (:351-450), last-literals tail (:500-530).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ... import format as F
+from . import lockstep as LK
+from .lockstep import (
+    CAP, CAPW, FR,
+    _iota_rows, _bcast,
+    funnel, byte_mask,
+)
+from .lockstep_enc import _at_byte, _lead_eq, _trail_eq8, _r32
+from .lockstep_v4 import BAND, extract_bytes_banded, extract_rows_banded
+from .lockstep_v6 import FH, flush_ring, place_ring
+
+LANES = LK.LANES
+BIG = 0x40000000
+
+HASHLOG = 13                 # compress_dense contract: hash4/13 always
+TROWS = 1 << HASHLOG         # per-lane table rows
+TBAND = 64                   # table band rows per fused-sweep visit
+K1 = 16                      # pass-1 positions / pass-2 probes per round
+_HASH4_MUL = F.HASH4_PRIME - (1 << 32)   # int32-wrapped Knuth prime
+
+LCP = 64                     # cand window rows (= 2*LCP positions)
+WPOS = 2 * LCP
+SRO = 512                    # output staging ring rows (2 KiB)
+
+# pass-2 lane modes
+SRCH = 0      # skip-schedule batch probe over the cand window
+VFY = 1       # banded candidate read -> verify + catch-up + extension
+PREP = 2      # catch-up continuation (ran past its 8-byte window)
+EXT = 3       # forward extension continuation
+EMIT = 4      # fused one-round emission (lit < 15, mc < 270)
+HDR = 5       # token + literal-LSIC stream
+LIT = 6       # literal copy stream
+TAIL = 7      # offset + match-LSIC stream
+FHDR = 8      # last-literals token + LSIC
+FLIT = 9      # last-literals copy
+DONE = 10
+
+
+def _hash4(v):
+    return LK.shift_right_u(v * _HASH4_MUL, 32 - HASHLOG)
+
+
+# ---------------------------------------------------------------------------
+# Pass 1: dense candidate sweep
+# ---------------------------------------------------------------------------
+
+
+def _sweep_round(r, src_ref, tbl_ref, cand_ref, g, n):
+    """Insert positions [r*K1, r*K1 + K1) of every lane into the table;
+    write their packed candidate offsets (val16-prefiltered d16, two per
+    row) into the cand tape."""
+    p0 = r * K1
+    # 8-aligned dynamic sublane read (hardware requires aligned slices);
+    # odd rounds sit 4 rows into the block — select by round parity
+    rows = src_ref[g, pl.ds((r >> 1) * 8, 16), :]
+    odd = _bcast((r & 1) == 1, 1)
+    v32 = []
+    for k in range(K1):
+        vs = []
+        for par in (0, 1):
+            j = par * 4 + k // 4
+            lo = rows[j:j + 1]
+            sh = (k % 4) * 8
+            if sh:
+                hi = rows[j + 1:j + 2]
+                vs.append(LK.shift_right_u(lo, sh)
+                          | LK.shift_left_u(hi, 32 - sh))
+            else:
+                vs.append(lo)
+        v32.append(jnp.where(odd, vs[1], vs[0]))
+    hs = [_hash4(v) for v in v32]
+    valid = [(p0 + k) <= (n - 4) for k in range(K1)]
+    packs = [jnp.where(
+        valid[k],
+        ((p0 + k + 1) & 0xFFFF) | LK.shift_left_u(v32[k] & 0xFFFF, 16),
+        0) for k in range(K1)]
+
+    # fused get+put band loop: each get collects its band into a register
+    # window; puts apply in exact position order so later gets of the
+    # same round see earlier inserts
+    def band_body(b, wins):
+        seg = tbl_ref[pl.ds(b * TBAND, TBAND), :]
+        new_wins = list(wins)
+        ii = _iota_rows(TBAND) + b * TBAND
+        for k in range(K1):
+            inb = _bcast((hs[k] >> 6) == b, TBAND)
+            new_wins[k] = jnp.where(inb, seg, new_wins[k])
+            put = (ii == _bcast(hs[k], TBAND)) & _bcast(valid[k], TBAND)
+            seg = jnp.where(put, _bcast(packs[k], TBAND), seg)
+        tbl_ref[pl.ds(b * TBAND, TBAND), :] = seg
+        return tuple(new_wins)
+
+    zero = jnp.zeros((TBAND, LANES), jnp.int32)
+    wins = jax.lax.fori_loop(0, TROWS // TBAND, band_body,
+                             tuple([zero] * K1))
+
+    d16s = []
+    for k in range(K1):
+        # band_body selects window k from seg AFTER puts j < k, so each
+        # get already sees the same-round earlier inserts, in order
+        s = LK.rotate_up(wins[k], hs[k] & (TBAND - 1), TBAND)[:1]
+        d = (p0 + k + 1 - (s & 0xFFFF)) & 0xFFFF
+        ok = (s != 0) & (d != 0) \
+            & (LK.shift_right_u(s, 16) == (v32[k] & 0xFFFF)) \
+            & valid[k]
+        d16s.append(jnp.where(ok, d, 0))
+    packed_rows = [d16s[2 * j] | LK.shift_left_u(d16s[2 * j + 1], 16)
+                   for j in range(K1 // 2)]
+    cand_ref[pl.ds(r * (K1 // 2), K1 // 2), :] = jnp.concatenate(
+        packed_rows, axis=0)
+
+# ---------------------------------------------------------------------------
+# Pass 2: parse & emit
+# ---------------------------------------------------------------------------
+
+
+def _parse_round(st, stag, fl, wa, wb, litw, candw, candb, n, accel: int):
+    """Advance every live lane one step of its mode.
+
+    Operands loaded by the round wrapper (banded, gated, per round):
+      wa   (CAPW,128): src bytes at [pos-8 ..] (VFY/PREP), [pos+4+mc ..]
+           (EXT), or [anchor ..] (EMIT) per lane mode;
+      wb   (CAPW,128): src bytes at the matched side (VFY/PREP: mpos-8,
+           EXT: mpos+4+mc);
+      litw (CAPW,128): src bytes at [anchor+ldone ..] (LIT/FLIT stream);
+      candw (LCP,128): cand-tape rows [candb>>1 ..) — d16 for positions
+           [candb, candb + 2*LCP), two per row; candb (1,128) even.
+    """
+    mode = st["mode"]
+    pos, fpos, step, smn = st["pos"], st["fpos"], st["step"], st["smn"]
+    anchor, mpos, mc = st["anchor"], st["mpos"], st["mc"]
+    lit, d, opos = st["lit"], st["d"], st["opos"]
+    hk, ldone = st["hk"], st["ldone"]
+    mflimit = n - F.MFLIMIT
+    matchlimit = n - F.LASTLITERALS
+    rspan = SRO * 4
+    head = fl * 4 + rspan - opos
+
+    g_srch = mode == SRCH
+    g_vfy = mode == VFY
+    g_prep = mode == PREP
+    g_ext = mode == EXT
+
+    # ---- SRCH: batch skip-schedule probes over the cand window ----
+    # Loop A marks schedule offsets on the packed window halves; probes
+    # run while in-window and short of the mflimit exhaustion rule
+    # (lz4e_compress.c:298-307: check with the incoming step, advance by
+    # it, then draw the next step from smn).
+    iot = _iota_rows(LCP)
+    mem_lo = jnp.zeros((LCP, LANES), jnp.int32)
+    mem_hi = jnp.zeros((LCP, LANES), jnp.int32)
+    fp_a, st_a, sm_a = fpos, step, smn
+    go = g_srch
+    first_ex = jnp.full((1, LANES), BIG, jnp.int32)
+    for _ in range(K1):
+        ex_i = go & (fp_a + st_a > mflimit + 1)
+        first_ex = jnp.where(ex_i & (first_ex == BIG), fp_a - candb,
+                             first_ex)
+        off = fp_a - candb
+        # off < 0: the window was rebased by other lanes' minimum while
+        # this lane was mid-sequence — stall until the refill re-bases it
+        probe = go & ~ex_i & (off >= 0) & (off < WPOS)
+        row = _bcast(off >> 1, LCP) == iot
+        mem_lo = mem_lo | jnp.where(row & _bcast(probe & ((off & 1) == 0),
+                                                 LCP), 1, 0)
+        mem_hi = mem_hi | jnp.where(row & _bcast(probe & ((off & 1) == 1),
+                                                 LCP), 1, 0)
+        fp_a = jnp.where(probe, fp_a + st_a, fp_a)
+        st_a = jnp.where(probe, LK.shift_right_u(sm_a, F.SKIPTRIGGER),
+                         st_a)
+        sm_a = jnp.where(probe, sm_a + 1, sm_a)
+        go = probe
+    d_lo = candw & 0xFFFF
+    d_hi = LK.shift_right_u(candw, 16)
+    hit_lo = jnp.min(jnp.where((mem_lo != 0) & (d_lo != 0), iot * 2, BIG),
+                     axis=0, keepdims=True)
+    hit_hi = jnp.min(jnp.where((mem_hi != 0) & (d_hi != 0),
+                               iot * 2 + 1, BIG), axis=0, keepdims=True)
+    first_hit = jnp.minimum(hit_lo, hit_hi)
+    # probes stop at the window edge, so every marked (probed) offset
+    # precedes any detected exhaustion point: a hit always wins, and an
+    # exhaustion with no hit is valid even when its own offset lies past
+    # the window (all probes before it were marked and missed)
+    srch_hit = g_srch & (first_hit != BIG)
+    srch_done = g_srch & ~srch_hit & (first_ex != BIG)
+    # extract the winning d16
+    selrow = _bcast(first_hit >> 1, LCP) == iot
+    selw = jnp.sum(jnp.where(selrow, candw, 0), axis=0, keepdims=True)
+    hit_d = jnp.where((first_hit & 1) == 0, selw & 0xFFFF,
+                      LK.shift_right_u(selw, 16))
+    hit_pos = candb + first_hit
+    # loop B: replay the schedule through probes at offsets <= stop
+    stop = jnp.where(srch_hit, first_hit, jnp.int32(2 * WPOS))
+    fp_b, st_b, sm_b = fpos, step, smn
+    go = g_srch
+    for _ in range(K1):
+        ex_i = go & (fp_b + st_b > mflimit + 1)
+        off = fp_b - candb
+        adv = go & ~ex_i & (off >= 0) & (off < WPOS) & (off <= stop)
+        fp_b = jnp.where(adv, fp_b + st_b, fp_b)
+        st_b = jnp.where(adv, LK.shift_right_u(sm_b, F.SKIPTRIGGER), st_b)
+        sm_b = jnp.where(adv, sm_b + 1, sm_b)
+        go = adv
+    fpos = jnp.where(g_srch, fp_b, fpos)
+    step = jnp.where(g_srch, st_b, step)
+    smn = jnp.where(g_srch, sm_b, smn)
+    pos = jnp.where(srch_hit, hit_pos, pos)
+    mpos = jnp.where(srch_hit, hit_pos - hit_d, mpos)
+    d = jnp.where(srch_hit, hit_d, d)
+    # mode transitions land in the END-of-round chain: assigning FHDR
+    # here would run the header-stream phase THIS round with the stale
+    # hk of the previous sequence's TAIL (its first hk bytes would be
+    # skipped), and entering_h would never reset it
+
+    # ---- VFY / PREP / EXT: verify + catch-up + forward extension ----
+    ra0 = _r32(wa, 8)
+    rb0 = _r32(wb, 8)
+    vfy_ok = g_vfy & (ra0 == rb0)
+    vfy_fail = g_vfy & (ra0 != rb0)
+    # val16 false positive: the oracle's read32 check fails and the
+    # schedule continues seamlessly (state already replayed past it)
+    mode = jnp.where(vfy_fail, SRCH, mode)
+
+    cu = vfy_ok | g_prep
+    tc = _trail_eq8(wa, wb)
+    delta = jnp.where(cu, jnp.minimum(jnp.minimum(tc, pos - anchor), mpos),
+                      0)
+    pos = pos - delta
+    mpos = mpos - delta
+    cu_more = cu & (delta == 8) & (pos > anchor) & (mpos > 0)
+
+    ext_now = (cu & ~cu_more) | g_ext
+    t_off = jnp.where(g_ext, 0, 12 - delta)
+    fa = funnel(wa, t_off, CAPW - 3)
+    fb = funnel(wb, t_off, CAPW - 3)
+    le = jnp.minimum(_lead_eq(fa, fb), 4 * (CAPW - 3))
+    span = jnp.where(g_ext, 4 * (CAPW - 3),
+                     jnp.minimum(4 * (CAPW - 3), 4 * CAPW - t_off - 3))
+    cl = matchlimit - (pos + F.MINMATCH)
+    mc = jnp.where(ext_now & ~g_ext, 0, mc)
+    add = jnp.minimum(jnp.minimum(le, span), cl - mc)
+    mc = jnp.where(ext_now, mc + jnp.maximum(add, 0), mc)
+    ext_more = ext_now & (le >= span) & (mc < cl)
+    ext_done = ext_now & ~ext_more
+    lit = jnp.where(vfy_ok | g_prep, pos - anchor, lit)
+    d = jnp.where(vfy_ok | g_prep, pos - mpos, d)
+    fused_ok = (lit < F.ML_MASK) & (mc < F.ML_MASK + 255)
+
+    # ---- EMIT: fused single-round emission ----
+    g_emit = mode == EMIT
+    k_tot = 1 + lit + 2 + (mc >= F.ML_MASK).astype(jnp.int32)
+    emit_go = g_emit & (head >= k_tot)
+    emit_stall = g_emit & (head < k_tot)     # wait for a flush
+    token = (jnp.minimum(lit, F.RUN_MASK) << F.ML_BITS) \
+        | jnp.minimum(mc, F.ML_MASK)
+    # literal image: wa holds src[anchor ..] for EMIT lanes
+    lit_img = LK.byteshift_down(wa, jnp.ones((1, LANES), jnp.int32)) \
+        & byte_mask(CAPW, jnp.ones((1, LANES), jnp.int32), 1 + lit)
+    tw = d | LK.shift_left_u(jnp.maximum(mc - F.ML_MASK, 0), 16)
+    ntail = 2 + (mc >= F.ML_MASK).astype(jnp.int32)
+    tail_img = _at_byte(tw, 1 + lit, ntail, CAPW)
+    tok_img = _at_byte(token, jnp.zeros((1, LANES), jnp.int32),
+                       jnp.ones((1, LANES), jnp.int32), CAPW)
+    emit_stream = tok_img | lit_img | tail_img
+
+    # ---- streamed header phases (HDR / TAIL / FHDR) ----
+    g_hdr = mode == HDR
+    g_tail = mode == TAIL
+    g_fhdr = mode == FHDR
+    g_h = g_hdr | g_tail | g_fhdr
+    last = n - anchor
+    npb = jnp.where(g_tail, 2, 1)
+    ftok = jnp.minimum(last, F.RUN_MASK) << F.ML_BITS
+    pw = jnp.where(g_hdr, token, jnp.where(g_tail, d, ftok))
+    q = jnp.where(g_hdr, lit, jnp.where(g_tail, mc, last)) - F.ML_MASK
+    lsic_on = q >= 0
+    nff = jnp.maximum(q, 0) // 255
+    total = npb + jnp.where(lsic_on, nff + 1, 0)
+    k_h = jnp.clip(jnp.minimum(jnp.minimum(total - hk, jnp.int32(CAP)),
+                               head), 0)
+    ff_img = byte_mask(CAPW, npb - hk, npb + nff - hk)
+    p_img = _at_byte(LK.shift_right_u(pw, jnp.minimum(hk, 4) * 8),
+                     jnp.zeros((1, LANES), jnp.int32),
+                     jnp.clip(npb - hk, 0, 2), CAPW)
+    rpos = npb + nff - hk
+    rby = (jnp.maximum(q, 0) - 255 * nff) * jnp.int32(0x01010101)
+    r_img = jnp.where(_bcast(lsic_on & (rpos >= 0) & (rpos < CAP), CAPW),
+                      rby & byte_mask(CAPW, rpos, rpos + 1), 0)
+    hdr_stream = ff_img | p_img | r_img
+
+    # ---- literal copy phases (LIT / FLIT): litw = src[anchor+ldone ..] ----
+    g_lit = mode == LIT
+    g_flit = mode == FLIT
+    g_l = g_lit | g_flit
+    l_total = jnp.where(g_flit, last, lit)
+    k_l = jnp.clip(jnp.minimum(jnp.minimum(l_total - ldone,
+                                           jnp.int32(CAP)), head), 0)
+    k_l = jnp.where(g_l, k_l, 0)
+
+    # ---- the round's single staging write ----
+    stream = jnp.where(_bcast(g_h, CAPW), hdr_stream,
+                       jnp.where(_bcast(emit_go, CAPW), emit_stream,
+                                 litw))
+    k = jnp.where(emit_go, k_tot,
+                  jnp.where(g_h, k_h, k_l))
+    stag = place_ring(stag, stream, opos & (rspan - 1), k)
+    opos = opos + k
+    hk_new = jnp.where(g_h, hk + k, hk)
+    ldone = jnp.where(g_l, ldone + k, ldone)
+
+    # ---- transitions ----
+    seq_end = emit_go | (g_tail & (hk_new >= total))
+    pos_n = jnp.where(seq_end, pos + F.MINMATCH + mc, pos)
+    anchor = jnp.where(seq_end, pos_n, anchor)
+    past = seq_end & (pos_n > mflimit)
+    # merged rematch: a fresh schedule starts AT the new anchor
+    fpos = jnp.where(seq_end & ~past, pos_n, fpos)
+    step = jnp.where(seq_end & ~past, 1, step)
+    smn = jnp.where(seq_end & ~past, accel << F.SKIPTRIGGER, smn)
+
+    mode = jnp.where(emit_stall, EMIT,
+           jnp.where(cu_more, PREP,
+           jnp.where(ext_more, EXT,
+           jnp.where(ext_done, jnp.where(fused_ok, EMIT, HDR),
+           jnp.where(seq_end, jnp.where(past, FHDR, SRCH),
+           jnp.where(g_hdr & (hk_new >= total), LIT,
+           jnp.where(g_lit & (ldone >= lit), TAIL,
+           jnp.where(g_fhdr & (hk_new >= total), FLIT,
+           jnp.where(g_flit & (ldone >= last), DONE,
+           jnp.where(srch_hit, VFY,
+           jnp.where(srch_done, FHDR,
+                     mode)))))))))))
+    pos = pos_n
+    entering_h = ((mode == HDR) & ~g_hdr) | ((mode == TAIL) & ~g_tail) \
+        | ((mode == FHDR) & ~g_fhdr)
+    hk = jnp.where(entering_h, 0, hk_new)
+    entering_l = ((mode == LIT) & ~g_lit) | ((mode == FLIT) & ~g_flit)
+    ldone = jnp.where(entering_l, 0, ldone)
+
+    st2 = dict(mode=mode, pos=pos, fpos=fpos, step=step, smn=smn,
+               anchor=anchor, mpos=mpos, mc=mc, lit=lit, d=d, opos=opos,
+               hk=hk, ldone=ldone, rounds=st["rounds"] + 1)
+    return st2, stag
+
+
+# ---------------------------------------------------------------------------
+# Kernel + host wrapper
+# ---------------------------------------------------------------------------
+
+
+def _kernel(src_ref, n_ref, out_ref, len_ref, err_ref,
+            tbl_ref, cand_ref, candw_ref, candb_ref, wa_ref, wb_ref,
+            litw_ref, fl_ref, *, SW: int, OR: int, CPR: int, T1: int,
+            accel: int, debug_rounds: bool = False):
+    g = 0
+    n = n_ref[0]
+    z = n * 0
+    blog = BAND.bit_length() - 1
+    fhlog = FH.bit_length() - 1
+    rspan = SRO * 4
+
+    # ---- pass 1: dense candidate sweep ----
+    tbl_ref[...] = _bcast(z, TROWS)
+
+    def sweep(r, c):
+        _sweep_round(r, src_ref, tbl_ref, cand_ref, g, n)
+        return c
+
+    jax.lax.fori_loop(0, T1, sweep, 0)
+
+    # ---- pass 2: parse & emit ----
+    searchable = n >= F.MIN_LENGTH
+    st = dict(mode=jnp.where(searchable, SRCH, FHDR).astype(jnp.int32),
+              pos=z + 1, fpos=z + 1, step=z + 1,
+              smn=z + (accel << F.SKIPTRIGGER),
+              anchor=z, mpos=z, mc=z, lit=z, d=z, opos=z,
+              hk=z, ldone=z, rounds=z)
+    fl_ref[...] = z
+    candb_ref[...] = z - 4 * WPOS            # poisoned: first refill fires
+    max_rounds = jnp.int32(8 * SW + 4096)
+    margin = 2 * CAP + 8
+
+    def cond(c):
+        st, _stag = c
+        return jnp.any(st["mode"] != DONE) & jnp.all(
+            st["rounds"] < max_rounds)
+
+    def body(c):
+        st, stag = c
+        fl = fl_ref[...]
+        mode = st["mode"]
+        live = mode != DONE
+        g_srch = mode == SRCH
+        g_ab = (mode == VFY) | (mode == PREP) | (mode == EXT)
+        g_a = g_ab | (mode == EMIT)
+        g_l = (mode == LIT) | (mode == FLIT)
+        candb = candb_ref[...]
+
+        # ---- batched round-start decisions ----
+        r_need = g_srch & ((st["fpos"] < candb)
+                           | (st["fpos"] - candb >= WPOS - 3 * K1))
+        f_need = live & (st["opos"] + margin > fl * 4 + rspan)
+        packed1 = jnp.sum(r_need.astype(jnp.int32)
+                          + (g_a.astype(jnp.int32) << 8)
+                          + (g_ab.astype(jnp.int32) << 16))
+        packed2 = jnp.sum(g_l.astype(jnp.int32)
+                          + (f_need.astype(jnp.int32) << 8))
+        # cand window rebase (idle lanes clamp into the live span)
+        cb_lo = jnp.min(jnp.where(g_srch, st["fpos"], BIG)) & ~1
+        cb_new = jnp.where(g_srch, st["fpos"] & ~1, cb_lo)
+        crb = cb_new >> 1                        # cand tape row base
+        c_lo = jnp.min(crb) >> blog
+        c_hi = jnp.max(crb) >> blog
+        # wa / wb / lit addresses (idle lanes clamp to the live minimum)
+        wa_addr = jnp.where(mode == EXT, st["pos"] + F.MINMATCH + st["mc"],
+                            jnp.where(mode == EMIT, st["anchor"],
+                                      st["pos"] - 8))
+        wa_lo = jnp.min(jnp.where(g_a, wa_addr, BIG))
+        wa_c = jnp.where(g_a, wa_addr, wa_lo)
+        a_lo = jnp.min(wa_c) >> (2 + blog)
+        a_hi = jnp.max(wa_c) >> (2 + blog)
+        wb_addr = jnp.where(mode == EXT, st["mpos"] + F.MINMATCH + st["mc"],
+                            st["mpos"] - 8)
+        wb_lo = jnp.min(jnp.where(g_ab, wb_addr, BIG))
+        wb_c = jnp.where(g_ab, wb_addr, wb_lo)
+        b_lo = jnp.min(wb_c) >> (2 + blog)
+        b_hi = jnp.max(wb_c) >> (2 + blog)
+        li_addr = st["anchor"] + st["ldone"]
+        li_lo = jnp.min(jnp.where(g_l, li_addr, BIG))
+        li_c = jnp.where(g_l, li_addr, li_lo)
+        l_lo = jnp.min(li_c) >> (2 + blog)
+        l_hi = jnp.max(li_c) >> (2 + blog)
+        # flush rows
+        opr = st["opos"] >> 2
+        nfl = jnp.maximum(((opr - fl) >> fhlog) << fhlog, 0)
+        wf_lo = jnp.min(jnp.where(nfl > 0, fl, BIG)) >> blog
+        wf_hi = (jnp.max(jnp.where(nfl > 0, fl + nfl, 0)) + BAND - 1) \
+            >> blog
+
+        @pl.when((packed1 & 255) != 0)
+        def _refill_cand():
+            candw_ref[...] = extract_rows_banded(
+                cand_ref, None, crb, LCP, CPR, bounds=(c_lo, c_hi))
+            candb_ref[...] = cb_new
+
+        @pl.when(((packed1 >> 8) & 255) != 0)
+        def _load_wa():
+            wa_ref[...] = extract_bytes_banded(
+                src_ref, g, wa_c, CAPW, SW, bounds=(a_lo, a_hi))
+
+        @pl.when(((packed1 >> 16) & 255) != 0)
+        def _load_wb():
+            wb_ref[...] = extract_bytes_banded(
+                src_ref, g, wb_c, CAPW, SW, bounds=(b_lo, b_hi))
+
+        @pl.when((packed2 & 255) != 0)
+        def _load_lit():
+            litw_ref[...] = extract_bytes_banded(
+                src_ref, g, li_c, CAPW, SW, bounds=(l_lo, l_hi))
+
+        @pl.when(((packed2 >> 8) & 255) != 0)
+        def _do_flush():
+            flush_ring(stag, out_ref, g, fl, nfl, OR,
+                       bounds=(wf_lo, wf_hi))
+            fl_ref[...] = fl + nfl
+
+        fl2 = fl_ref[...]
+        st, stag = _parse_round(st, stag, fl2, wa_ref[...], wb_ref[...],
+                                litw_ref[...], candw_ref[...],
+                                candb_ref[...], n, accel)
+        return st, stag
+
+    st, stag = jax.lax.while_loop(cond, body, (st, _bcast(z, SRO)))
+
+    fl = fl_ref[...]
+    flush_ring(stag, out_ref, g, fl, jnp.int32(OR) - fl, OR,
+               byte_lim=st["opos"])
+    err = (st["mode"] != DONE).astype(jnp.int32)
+    len_ref[0] = jnp.where(err != 0, 0, st["opos"])
+    err_ref[0] = st["rounds"] if debug_rounds else err
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_size", "accel", "interpret",
+                                    "sort", "debug_rounds"))
+def compress_blocks_lockstep_enc2(raw, raw_len, block_size: int,
+                                  accel: int = 1,
+                                  interpret: bool = False,
+                                  sort: bool = False,
+                                  debug_rounds: bool = False):
+    """Compress a batch of independent LZ4 blocks (v2 dense engine).
+
+    raw uint8 [B, block_size] zero-padded, raw_len int32 [B] ->
+    (comp uint8 [B, compress_bound(block_size)], comp_len int32 [B],
+    err bool [B]). Output bytes are exactly golden.compress_dense
+    (accel semantics included); err is nonzero only if the machine
+    failed to converge, which on any input is a bug, not a data
+    condition (the rounds cap is a backstop).
+    """
+    raw = jnp.asarray(raw, jnp.uint8)
+    raw_len = jnp.asarray(raw_len, jnp.int32)
+    nb, slot = raw.shape
+    assert slot >= block_size
+    ng = -(-nb // LANES)
+    pad = ng * LANES - nb
+    if pad:
+        raw = jnp.pad(raw, ((0, pad), (0, 0)))
+        raw_len = jnp.pad(raw_len, (0, pad))
+    if sort and ng > 1:
+        order = jnp.argsort(raw_len)
+        inv = jnp.argsort(order)
+        raw = raw[order]
+        raw_len = raw_len[order]
+    g8 = raw.reshape(ng, LANES, slot)
+    gl = raw_len.reshape(ng, LANES)
+    tapes = jax.vmap(LK.pack_tapes)(g8, gl)            # (ng, SW0, 128)
+    sw = tapes.shape[1] + 8                            # sweep overread pad
+    sw = -(-sw // BAND) * BAND                         # banded-scan slabs
+    tapes = jnp.pad(tapes, ((0, 0), (0, sw - tapes.shape[1]), (0, 0)))
+    bound = F.compress_bound(block_size)
+    out_cap = -(-bound // (4 * BAND)) * (4 * BAND)
+    orr = out_cap // 4
+    t1 = -(-block_size // K1)
+    cpr = -(-(t1 * (K1 // 2)) // BAND) * BAND
+    nlane = gl.reshape(ng, 1, LANES)
+
+    out, out_len, err = pl.pallas_call(
+        functools.partial(_kernel, SW=sw, OR=orr, CPR=cpr, T1=t1,
+                          accel=accel, debug_rounds=debug_rounds),
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, sw, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, orr, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ng, orr, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((ng, 1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((ng, 1, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TROWS, LANES), jnp.int32),     # hash table
+            pltpu.VMEM((cpr, LANES), jnp.int32),       # cand tape
+            pltpu.VMEM((LCP, LANES), jnp.int32),       # cand window
+            pltpu.VMEM((1, LANES), jnp.int32),         # cand window base
+            pltpu.VMEM((CAPW, LANES), jnp.int32),      # wa operand
+            pltpu.VMEM((CAPW, LANES), jnp.int32),      # wb operand
+            pltpu.VMEM((CAPW, LANES), jnp.int32),      # literal stream
+            pltpu.VMEM((1, LANES), jnp.int32),         # flush frontier
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(tapes, nlane)
+
+    data = jax.vmap(LK.unpack_tapes)(out)
+    data = data.reshape(ng * LANES, out_cap)
+    out_len = out_len.reshape(-1)
+    err = err.reshape(-1)
+    if sort and ng > 1:
+        data = data[inv]
+        out_len = out_len[inv]
+        err = err[inv]
+    if debug_rounds:
+        return data[:nb, :bound], out_len[:nb], err[:nb]
+    return data[:nb, :bound], out_len[:nb], err[:nb].astype(bool)
