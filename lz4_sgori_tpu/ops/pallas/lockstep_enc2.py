@@ -415,7 +415,8 @@ def _parse_round(st, stag, fl, wa, wb, litw, candw, candb, n, accel: int):
 def _kernel(src_ref, n_ref, out_ref, len_ref, err_ref,
             tbl_ref, cand_ref, candw_ref, candb_ref, wa_ref, wb_ref,
             litw_ref, fl_ref, *, SW: int, OR: int, CPR: int, T1: int,
-            accel: int, debug_rounds: bool = False):
+            accel: int, debug_rounds: bool = False,
+            debug_pass1: bool = False):
     g = 0
     n = n_ref[0]
     z = n * 0
@@ -431,6 +432,14 @@ def _kernel(src_ref, n_ref, out_ref, len_ref, err_ref,
         return c
 
     jax.lax.fori_loop(0, T1, sweep, 0)
+
+    if debug_pass1:
+        # timing isolation: skip the parse; emit a checksum of the cand
+        # tape so the sweep cannot be dead-code-eliminated
+        out_ref[g] = _bcast(z, OR)
+        len_ref[0] = jnp.sum(cand_ref[...], axis=0, keepdims=True)
+        err_ref[0] = z
+        return
 
     # ---- pass 2: parse & emit ----
     searchable = n >= F.MIN_LENGTH
@@ -546,12 +555,13 @@ def _kernel(src_ref, n_ref, out_ref, len_ref, err_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("block_size", "accel", "interpret",
-                                    "sort", "debug_rounds"))
+                                    "sort", "debug_rounds", "debug_pass1"))
 def compress_blocks_lockstep_enc2(raw, raw_len, block_size: int,
                                   accel: int = 1,
                                   interpret: bool = False,
                                   sort: bool = False,
-                                  debug_rounds: bool = False):
+                                  debug_rounds: bool = False,
+                                  debug_pass1: bool = False):
     """Compress a batch of independent LZ4 blocks (v2 dense engine).
 
     raw uint8 [B, block_size] zero-padded, raw_len int32 [B] ->
@@ -590,7 +600,8 @@ def compress_blocks_lockstep_enc2(raw, raw_len, block_size: int,
 
     out, out_len, err = pl.pallas_call(
         functools.partial(_kernel, SW=sw, OR=orr, CPR=cpr, T1=t1,
-                          accel=accel, debug_rounds=debug_rounds),
+                          accel=accel, debug_rounds=debug_rounds,
+                          debug_pass1=debug_pass1),
         grid=(ng,),
         in_specs=[
             pl.BlockSpec((1, sw, LANES), lambda g: (g, 0, 0)),
