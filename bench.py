@@ -62,7 +62,7 @@ def _time_best(fn, iters=5, warmup=1):
     return best
 
 
-def _time_diff(launch, K=4, reps=3):
+def _time_diff(launch, K=4, reps=3, min_signal=0.1):
     """Per-run seconds by repeat-count differencing.
 
     ``launch(n)`` must dispatch n back-to-back device runs and force them
@@ -70,17 +70,32 @@ def _time_diff(launch, K=4, reps=3):
     device->host scalar fetch costs a ~30 ms tunnel round trip, so timing
     single runs would be dominated by the fetch; differencing n=1 against
     n=K+1 cancels it.
+
+    Round-2 postmortem (BENCH_r02 published -3.58 GB/s): taking the MIN
+    of noisy differences selects the most-negative noise excursion, and
+    a fixed K leaves sub-ms runs far below the fetch-noise floor. Now
+    the estimate is the MEDIAN of reps, K escalates until the differenced
+    signal K*t is at least `min_signal` seconds, and the result is
+    asserted positive.
     """
     launch(1)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        launch(1)
-        t1 = time.perf_counter()
-        launch(K + 1)
-        t2 = time.perf_counter()
-        best = min(best, ((t2 - t1) - (t1 - t0)) / K)
-    return best
+    while True:
+        diffs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            launch(1)
+            t1 = time.perf_counter()
+            launch(K + 1)
+            t2 = time.perf_counter()
+            diffs.append(((t2 - t1) - (t1 - t0)) / K)
+        diffs.sort()
+        med = diffs[len(diffs) // 2]
+        if med > 0 and med * K >= min_signal:
+            return med
+        if K >= 1024:
+            assert med > 0, f"unstable timing: diffs={diffs} at K={K}"
+            return med
+        K *= 4
 
 
 def _synth_text(nbytes: int, seed: int = 7) -> bytes:

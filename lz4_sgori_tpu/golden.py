@@ -261,21 +261,28 @@ def decompress(src: bytes | bytearray | memoryview, max_output: int) -> bytes:
     return bytes(out)
 
 
-def dense_candidates(src: bytes, hashlog: int = 13):
-    """Pass-1 oracle of the TPU v2 encoder: the parse-independent dense
-    candidate sweep.
+def dense_candidates(src: bytes, hashlog: int = 13,
+                     val16_filter: bool = True):
+    """Pass-1 oracle of the TPU lane-lockstep encoders: the
+    parse-independent dense candidate rule.
 
     Every position q in [0, n-4] is inserted in order into a hash4 table
-    whose entries pack ((q+1) & 0xFFFF) | (low16 of read32(q)) << 16 —
-    one int32 per entry, the layout the kernel's fused get+put scan uses.
+    whose entries pack ((q+1) & 0xFFFF) | (low16 of read32(q)) << 16.
     Returns cand_d: cand_d[p] = offset to the latest prior position with
-    the same hash, already pre-filtered by the packed val16 (0 = no
-    candidate). The 16-bit packing makes the offset window <= 65535
-    structural (no separate DISTANCE_MAX check), at the cost of missing
-    the vanishing set of candidates whose packed position is 0 mod 2^16.
-    Unlike the reference's table (insert only at probed positions,
-    lz4e_compress.c:291-336,459-464), insertion density does not depend
-    on the parse, which is what lets the TPU sweep batch positions.
+    the same hash (0 = no candidate). The 16-bit packing makes the
+    offset window <= 65535 structural (no separate DISTANCE_MAX check),
+    at the cost of missing the vanishing set of candidates whose packed
+    position is 0 mod 2^16. Unlike the reference's table (insert only at
+    probed positions, lz4e_compress.c:291-336,459-464), insertion
+    density does not depend on the parse, which is what lets the TPU
+    engines batch pass 1.
+
+    val16_filter drops candidates whose stored low-16 word bits differ
+    from the probe's — a probe-economy knob only: compress_dense
+    re-verifies every candidate with a full read32, so the compressed
+    BYTES are identical either way. The enc2 sweep kernel filtered
+    (hashlog 13, packed val16); the enc3 sort kernel does not
+    (hashlog 16, pure (hash,pos) keys).
     """
     n = len(src)
     cand_d = [0] * n
@@ -291,7 +298,7 @@ def dense_candidates(src: bytes, hashlog: int = 13):
         if s == 0:
             continue
         d = (p + 1 - (s & 0xFFFF)) & 0xFFFF
-        if d != 0 and (s >> 16) == (v & 0xFFFF):
+        if d != 0 and (not val16_filter or (s >> 16) == (v & 0xFFFF)):
             cand_d[p] = d
     return cand_d
 
@@ -299,15 +306,17 @@ def dense_candidates(src: bytes, hashlog: int = 13):
 def compress_dense(src: bytes | bytearray | memoryview,
                    acceleration: int = 1, hashlog: int = 13) -> bytes:
     """Greedy LZ4 compress with the DENSE candidate rule — the byte-exact
-    oracle of the TPU lockstep v2 encoder (ops/pallas/lockstep_enc2.py).
+    oracle of the TPU lockstep encoders: hashlog=16 is the enc3 contract
+    (ops/pallas/lockstep_enc3.py), hashlog=13 the superseded enc2 one.
 
     Parse structure (skip-accelerated search, backward catch-up, forward
     extension to matchlimit, immediate rematch, mflimit/LASTLITERALS
     bounds, LSIC emission) mirrors compress()/lz4e_compress.c:218-534;
     only the candidate source differs: dense_candidates() above instead
     of the parse-coupled single-probe table. Output decodes with any LZ4
-    decoder; measured aggregate size is ~0.996x LZ4_compress_default on
-    the bench corpus (tools/dense_ratio_sim.py).
+    decoder; measured aggregate size vs LZ4_compress_default on the
+    bench corpus: 0.995x at hashlog 13, 0.990x at hashlog 16 (0.964x on
+    text — finer buckets lose fewer candidates to collisions).
     """
     src = bytes(src)
     n = len(src)

@@ -1,56 +1,46 @@
-"""Lane-lockstep LZ4 encoder v2: dense-candidate two-pass engine.
+"""Lane-lockstep LZ4 encoder v3: sort-based candidates + fused parse.
 
-The round-2 v1 encoder (lockstep_enc.py) is byte-identical to
-LZ4_compress_default but architecturally slow: every probe round pays a
-full-table per-lane gather (~1 ns/row/lane over an 8192-row hashLog-13
-table) plus full-tape source extracts, because the reference's table is
-parse-coupled — which positions get inserted depends on which get probed
-(lz4e_compress.c:291-336,459-464).
+enc2 (lockstep_enc2.py, superseded) computed its dense candidates with a
+fused get+put walk over a per-lane 8192-row hash table: every 16
+positions paid ~3 vector ops per query per 64-row band, 117 ms per
+8 MiB group on v5e — per-query cost scales with table rows, which is
+architecturally unfixable. enc3 reformulates pass 1 as a SORT:
 
-v2 decouples them. Its contract is golden.compress_dense: candidates
-come from a parse-INDEPENDENT dense sweep (every position inserted, in
-order, into a hash4/hashLog-13 table of packed ``(pos+1)&0xFFFF |
-val16<<16`` words), which the parse then consumes read-only. Output is
-byte-exact to compress_dense, decodes with any LZ4 decoder, and measures
-*smaller* than LZ4_compress_default in aggregate (0.996x @64 KiB,
-0.918x @256 KiB blocks — tools/dense_ratio_sim.py, test_golden).
+    cand[p] = latest q < p with hash16(v32(q)) == hash16(v32(p))
 
-Pass 1 (candidate sweep), the batchable half: K1=16 consecutive
-positions per round per lane. Source rows are UNIFORM across lanes (all
-lanes sweep position p0 = r*K1 together), so source reads are plain
-dynamic slices — no banded scans. The hash-table round is one fused
-band loop over the per-lane (8192,128) table: each query SELECTS its
-64-row band into a register window (its get) and conditionally
-overwrites its row (its put), in exact position order; after the loop
-each query extracts its row with one 6-stage rotate. The displaced
-entry IS the candidate; it pre-filters by val16 and lands as a 16-bit
-offset in the cand tape (two positions packed per int32 row).
+is exactly "previous row with the same key" after sorting
+``key = hash16 << 16 | pos`` — buckets become contiguous runs ordered
+by position, one rolled neighbor-compare reads every candidate at once,
+and a second sort by ``pos << 16 | d16`` scatters the results back to
+position order. Both sorts are bitonic compare-exchange networks along
+sublanes (static rolls + min/max + selects — the cheapest ops on this
+machine), executed per 16K-row chunk with an explicit merge tree so no
+roll ever materializes more than a (16384,128) temporary.
 
-Pass 2 (parse & emit): the sequential greedy parse, lockstep across 128
-lanes, with zero per-position table work:
+hash16 (not the reference's hash13, lz4e_compress.c:59-66) because the
+sort key has exactly 16 spare bits and finer buckets both improve the
+ratio (measured 0.990x vs LZ4_compress_default on the bench corpus,
+0.964x on text — vs 0.996x/0.996x for hash13) and cut the false-probe
+rate (8-10% vs 32-41%). The byte contract is golden.compress_dense
+(hashlog=16): candidates need no val16 prefilter because the parse
+re-verifies every probe with a read32 compare, so prefiltering changes
+probe economy, never bytes.
 
-  * a search round evaluates up to K1 skip-schedule probes against a
-    register window of the cand tape: schedule offsets are marked on a
-    window iota (membership loop in registers), the first marked offset
-    with a nonzero d16 wins (one priority reduce), and a second replay
-    loop advances the per-lane (fpos, step, smn) state exactly through
-    the consumed probes — NO per-probe random reads;
-  * a hit defers full verification to a VFY round whose operands the
-    round wrapper banded-loads once (src[pos-8..] and src[mpos-8..]);
-    catch-up (lz4e_compress.c:338-349) and forward extension run in the
-    same round; a val16 false positive simply resumes the schedule —
-    byte-identical to the oracle, which re-verifies with read32;
-  * emission reuses the v6 decoder's output machinery: fused one-round
-    emission for short sequences, streamed header/literal/tail phases
-    for long ones, all through a per-lane output ring with shared banded
-    flushes (lockstep_v6.place_ring/flush_ring);
-  * the immediate-rematch path (lz4e_compress.c:486-493) is the merged
-    schedule: each sequence end starts a fresh search AT the new anchor,
-    whose first probe is the rematch probe.
+Pass 2 is enc2's lockstep greedy parse (skip schedule, catch-up,
+extension, LSIC emission — lz4e_compress.c:218-534 semantics) with the
+round-2 verdict's hot costs removed:
 
-Reference semantics preserved per lz4e_compress.c: skip acceleration
-(:296-307), catch-up (:338-349), MFLIMIT / matchlimit bounds (:234-235),
-LSIC emission (:351-450), last-literals tail (:500-530).
+  * mode histogram on v5e showed 48% of lane-rounds idle (stragglers)
+    and ~3 live rounds per sequence (SRCH/VFY/EMIT 1:1:1) with 4-5
+    banded tape walks firing nearly every round;
+  * emission is now fused into the verify round whenever the literal
+    run fits the verify window (lit + catchup <= 15 covers most text
+    sequences), collapsing VFY+EMIT into one round;
+  * the separate literal-stream window is folded into the per-mode
+    primary window (one walk fewer per round);
+  * blocks are re-grouped between passes by pass-1 candidate density
+    (a strong sequence-count proxy), so slow blocks share groups and
+    fast groups retire early instead of idling next to stragglers.
 """
 
 from __future__ import annotations
@@ -69,29 +59,27 @@ from .lockstep import (
     _iota_rows, _bcast,
     funnel, byte_mask,
 )
-from .lockstep_enc import _at_byte, _lead_eq, _trail_eq8, _r32
+from .lockstep_enc import _at_byte, _lead_eq, _r32
 from .lockstep_v4 import BAND, extract_bytes_banded, extract_rows_banded
 from .lockstep_v6 import FH, flush_ring, place_ring
 
 LANES = LK.LANES
 BIG = 0x40000000
 
-HASHLOG = 13                 # compress_dense contract: hash4/13 always
-TROWS = 1 << HASHLOG         # per-lane table rows
-TBAND = 64                   # table band rows per fused-sweep visit
-K1 = 16                      # pass-1 positions / pass-2 probes per round
-_HASH4_MUL = F.HASH4_PRIME - (1 << 32)   # int32-wrapped Knuth prime
-
-LCP = 64                     # cand window rows (= 2*LCP positions)
-WPOS = 2 * LCP
+HASHLOG = 16                 # compress_dense(hashlog=16) contract
+K1 = 16                      # pass-2 probes per search round
+LCPR = 128                   # cand window rows (1 position per row)
+WPOS = LCPR
 SRO = 512                    # output staging ring rows (2 KiB)
+CHUNK = 4096                 # bitonic sort chunk rows (bounds VMEM temps)
+_HASH4_MUL = F.HASH4_PRIME - (1 << 32)   # int32-wrapped Knuth prime
 
 # pass-2 lane modes
 SRCH = 0      # skip-schedule batch probe over the cand window
 VFY = 1       # banded candidate read -> verify + catch-up + extension
-PREP = 2      # catch-up continuation (ran past its 8-byte window)
+PREP = 2      # catch-up continuation (ran past its 16-byte window)
 EXT = 3       # forward extension continuation
-EMIT = 4      # fused one-round emission (lit < 15, mc < 270)
+EMIT = 4      # one-round emission fallback (fused path missed)
 HDR = 5       # token + literal-LSIC stream
 LIT = 6       # literal copy stream
 TAIL = 7      # offset + match-LSIC stream
@@ -100,95 +88,209 @@ FLIT = 9      # last-literals copy
 DONE = 10
 
 
-def _hash4(v):
-    return LK.shift_right_u(v * _HASH4_MUL, 32 - HASHLOG)
+def _trail_eq16(wa, wb):
+    """Count of trailing equal bytes among bytes [0,16) of two windows
+    (compared from byte 15 down — the catch-up direction)."""
+    tc = jnp.zeros((1, LANES), jnp.int32)
+    live = jnp.ones((1, LANES), bool)
+    for k in range(15, -1, -1):
+        eq = LK._sb(wa, k) == LK._sb(wb, k)
+        live = live & eq
+        tc = tc + live.astype(jnp.int32)
+    return tc
 
 
 # ---------------------------------------------------------------------------
-# Pass 1: dense candidate sweep
+# Pass 1: bitonic-sort dense candidates
+#
+# The sort array lives in the cand output ref; every stage loads/stores
+# CHUNK-row slices so values stay register-allocator-sized (a monolithic
+# (65536,128) value measured 256 MB of spill slots). Chunks are bitonic-
+# sorted with the classic iterative network: sort chunk c in direction
+# parity(c), then for run sizes m = 2,4..nch merge with cross-chunk
+# min/max rounds (chunk distance m/2..1) followed by a uniform-direction
+# in-chunk merge, run direction = parity(c // m).
 # ---------------------------------------------------------------------------
 
 
-def _sweep_round(r, src_ref, tbl_ref, cand_ref, g, n):
-    """Insert positions [r*K1, r*K1 + K1) of every lane into the table;
-    write their packed candidate offsets (val16-prefiltered d16, two per
-    row) into the cand tape."""
-    p0 = r * K1
-    # 8-aligned dynamic sublane read (hardware requires aligned slices);
-    # odd rounds sit 4 rows into the block — select by round parity
-    rows = src_ref[g, pl.ds((r >> 1) * 8, 16), :]
-    odd = _bcast((r & 1) == 1, 1)
-    v32 = []
-    for k in range(K1):
-        vs = []
-        for par in (0, 1):
-            j = par * 4 + k // 4
-            lo = rows[j:j + 1]
-            sh = (k % 4) * 8
-            if sh:
-                hi = rows[j + 1:j + 2]
-                vs.append(LK.shift_right_u(lo, sh)
-                          | LK.shift_left_u(hi, 32 - sh))
-            else:
-                vs.append(lo)
-        v32.append(jnp.where(odd, vs[1], vs[0]))
-    hs = [_hash4(v) for v in v32]
-    valid = [(p0 + k) <= (n - 4) for k in range(K1)]
-    packs = [jnp.where(
-        valid[k],
-        ((p0 + k + 1) & 0xFFFF) | LK.shift_left_u(v32[k] & 0xFFFF, 16),
-        0) for k in range(K1)]
+def _exchange(x, dist: int, keep_min, iota):
+    """One compare-exchange at row distance `dist` (< rows): row pairs
+    (i, i+dist) with bit `dist` of i clear; keep_min (rows,128) bool =
+    this row keeps the pair minimum. One roll fetches the partner, one
+    sends the other half back."""
+    n = x.shape[0]
+    fwd = jnp.roll(x, n - dist, axis=0)          # row i reads x[i+dist]
+    mnf = jnp.minimum(x, fwd)
+    mxf = jnp.maximum(x, fwd)
+    keepf = jnp.where(keep_min, mnf, mxf)        # value kept at bit-0 rows
+    sendf = jnp.where(keep_min, mxf, mnf)        # value for bit-1 rows
+    bit0 = (iota & dist) == 0
+    return jnp.where(bit0, keepf, jnp.roll(sendf, dist, axis=0))
 
-    # fused get+put band loop: each get collects its band into a register
-    # window; puts apply in exact position order so later gets of the
-    # same round see earlier inserts
-    def band_body(b, wins):
-        seg = tbl_ref[pl.ds(b * TBAND, TBAND), :]
-        new_wins = list(wins)
-        ii = _iota_rows(TBAND) + b * TBAND
-        for k in range(K1):
-            inb = _bcast((hs[k] >> 6) == b, TBAND)
-            new_wins[k] = jnp.where(inb, seg, new_wins[k])
-            put = (ii == _bcast(hs[k], TBAND)) & _bcast(valid[k], TBAND)
-            seg = jnp.where(put, _bcast(packs[k], TBAND), seg)
-        tbl_ref[pl.ds(b * TBAND, TBAND), :] = seg
-        return tuple(new_wins)
 
-    zero = jnp.zeros((TBAND, LANES), jnp.int32)
-    wins = jax.lax.fori_loop(0, TROWS // TBAND, band_body,
-                             tuple([zero] * K1))
+def _sort_ref(ref, g, NP: int):
+    """Ascending bitonic sort of ref[g] ((NP,128) int32 rows) in place."""
+    ch = min(CHUNK, NP)
+    nch = NP // ch
+    iota = _iota_rows(ch)
+    logch = ch.bit_length() - 1
 
-    d16s = []
-    for k in range(K1):
-        # band_body selects window k from seg AFTER puts j < k, so each
-        # get already sees the same-round earlier inserts, in order
-        s = LK.rotate_up(wins[k], hs[k] & (TBAND - 1), TBAND)[:1]
-        d = (p0 + k + 1 - (s & 0xFFFF)) & 0xFFFF
-        ok = (s != 0) & (d != 0) \
-            & (LK.shift_right_u(s, 16) == (v32[k] & 0xFFFF)) \
-            & valid[k]
-        d16s.append(jnp.where(ok, d, 0))
-    packed_rows = [d16s[2 * j] | LK.shift_left_u(d16s[2 * j + 1], 16)
-                   for j in range(K1 // 2)]
-    cand_ref[pl.ds(r * (K1 // 2), K1 // 2), :] = jnp.concatenate(
-        packed_rows, axis=0)
+    def sort_chunk(c, carry):
+        x = ref[g, pl.ds(c * ch, ch), :]
+        flip = _bcast((c & 1) == 1, ch)          # descending chunks
+        for j in range(logch):
+            for k in range(j, -1, -1):
+                up = (((iota >> (j + 1)) & 1) == 0) ^ flip
+                x = _exchange(x, 1 << k, up, iota)
+        ref[g, pl.ds(c * ch, ch), :] = x
+        return carry
+
+    jax.lax.fori_loop(0, nch, sort_chunk, 0)
+
+    m = 2
+    while m <= nch:
+        dd = m // 2
+        while dd >= 1:
+            def cross(t, carry, dd=dd, m=m):
+                blk = t // dd
+                off = t - blk * dd
+                i = blk * 2 * dd + off
+                a = ref[g, pl.ds(i * ch, ch), :]
+                b = ref[g, pl.ds((i + dd) * ch, ch), :]
+                asc = _bcast(((i // m) & 1) == 0, ch)
+                mn = jnp.minimum(a, b)
+                mx = jnp.maximum(a, b)
+                ref[g, pl.ds(i * ch, ch), :] = jnp.where(asc, mn, mx)
+                ref[g, pl.ds((i + dd) * ch, ch), :] = jnp.where(asc, mx, mn)
+                return carry
+
+            jax.lax.fori_loop(0, nch // 2, cross, 0)
+            dd //= 2
+
+        def intra(c, carry, m=m):
+            x = ref[g, pl.ds(c * ch, ch), :]
+            asc = _bcast(((c // m) & 1) == 0, ch)
+            for k in range(logch - 1, -1, -1):
+                x = _exchange(x, 1 << k, asc, iota)
+            ref[g, pl.ds(c * ch, ch), :] = x
+            return carry
+
+        jax.lax.fori_loop(0, nch, intra, 0)
+        m *= 2
+
+
+def _cand_kernel(src_ref, n_ref, cand_ref, dens_ref, *, NP: int):
+    """Dense hash16 candidates for one 128-lane group.
+
+    Writes cand_ref rows p = (p << 16) | d16[p] (d16 in the low half —
+    the parse masks & 0xFFFF) and dens_ref = per-lane count of
+    candidate-bearing positions (the pass-2 grouping key)."""
+    g = 0
+    n = n_ref[0]
+    np4 = NP // 4
+    ch = min(CHUNK, NP)
+    nch = NP // ch
+
+    # ---- keys: hash16(v32(p)) << 16 | p, one phase tape per byte lane;
+    # row order before sort 1 is irrelevant (pos is in the key) ----
+    t0 = src_ref[g, 0:np4, :]
+    t1 = src_ref[g, 1:np4 + 1, :]
+    i4 = _iota_rows(np4) * 4
+    for f in range(4):
+        if f == 0:
+            v = t0
+        else:
+            v = LK.shift_right_u(t0, 8 * f) | LK.shift_left_u(t1, 32 - 8 * f)
+        h16 = LK.shift_right_u(v * _HASH4_MUL, 32 - HASHLOG)
+        cand_ref[g, pl.ds(f * np4, np4), :] = \
+            LK.shift_left_u(h16, 16) | (i4 + f)
+
+    # ---- sort 1 by (hash16, pos): signed order groups buckets and
+    # ascends by pos within them (the sign bit is constant per bucket) ----
+    _sort_ref(cand_ref, g, NP)
+
+    # ---- d16: previous row in the same bucket is the candidate.
+    # Invalid positions (p > n-4: partial tail words, pad) always sort
+    # AFTER every valid position of their bucket (pos ascending within a
+    # bucket), so masking d16 at invalid rows loses no valid chains.
+    # Chunks walk high-to-low: chunk c reads its boundary row from chunk
+    # c-1, which is still un-overwritten when c processes. ----
+    iota_c = _iota_rows(ch)
+
+    def d16_body(t, carry, nch=nch):
+        c = nch - 1 - t
+        x = cand_ref[g, pl.ds(c * ch, ch), :]
+        # boundary row ch*c - 1 via an 8-aligned dynamic read (1-row
+        # dynamic slices are not tile-aligned)
+        pr8 = cand_ref[g, pl.ds(jnp.maximum(c * ch - 8, 0), 8), :]
+        prev = jnp.concatenate([pr8[7:8], x[:ch - 1]], axis=0)
+        pos = x & 0xFFFF
+        d = (pos - (prev & 0xFFFF)) & 0xFFFF
+        same = LK.shift_right_u(x, 16) == LK.shift_right_u(prev, 16)
+        valid = pos <= _bcast(n - 4, ch)
+        first = (iota_c + c * ch) > 0
+        d16 = jnp.where(same & valid & first, d, 0)
+        # sort-2 key: row p = (p << 16) | d16[p]; pos >= 2^15 flips the
+        # sign, so bias to unsigned order (unbiased in the output pass)
+        cand_ref[g, pl.ds(c * ch, ch), :] = \
+            (LK.shift_left_u(pos, 16) | d16) ^ jnp.int32(-0x80000000)
+        return carry
+
+    jax.lax.fori_loop(0, nch, d16_body, 0)
+
+    # ---- sort 2 by pos, then unbias + density ----
+    _sort_ref(cand_ref, g, NP)
+
+    def unbias(c, dens):
+        x = cand_ref[g, pl.ds(c * ch, ch), :] ^ jnp.int32(-0x80000000)
+        cand_ref[g, pl.ds(c * ch, ch), :] = x
+        return dens + jnp.sum((x & 0xFFFF) != 0, axis=0,
+                              keepdims=True).astype(jnp.int32)
+
+    dens_ref[0] = jax.lax.fori_loop(
+        0, nch, unbias, jnp.zeros((1, LANES), jnp.int32))
+
+
+def _cand_call(tapes, nlane, NP: int, interpret: bool):
+    ng = tapes.shape[0]
+    sw = tapes.shape[1]
+    return pl.pallas_call(
+        functools.partial(_cand_kernel, NP=NP),
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, sw, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, NP, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ng, NP, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((ng, 1, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(tapes, nlane)
+
 
 # ---------------------------------------------------------------------------
 # Pass 2: parse & emit
 # ---------------------------------------------------------------------------
 
 
-def _parse_round(st, stag, fl, wa, wb, litw, candw, candb, n, accel: int):
+def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int):
     """Advance every live lane one step of its mode.
 
     Operands loaded by the round wrapper (banded, gated, per round):
-      wa   (CAPW,128): src bytes at [pos-8 ..] (VFY/PREP), [pos+4+mc ..]
-           (EXT), or [anchor ..] (EMIT) per lane mode;
-      wb   (CAPW,128): src bytes at the matched side (VFY/PREP: mpos-8,
-           EXT: mpos+4+mc);
-      litw (CAPW,128): src bytes at [anchor+ldone ..] (LIT/FLIT stream);
-      candw (LCP,128): cand-tape rows [candb>>1 ..) — d16 for positions
-           [candb, candb + 2*LCP), two per row; candb (1,128) even.
+      wa   (CAPW,128): the per-mode primary window — src[pos-16 ..] for
+           VFY/PREP, src[pos+4+mc ..] for EXT, src[anchor-4 ..] for
+           EMIT, src[anchor+ldone ..] for LIT/FLIT;
+      wb   (CAPW,128): the matched side (VFY/PREP: mpos-16, EXT:
+           mpos+4+mc);
+      candw (LCPR,128): cand rows [candb ..) — row i = d16 of position
+           candb + i in the low 16 bits.
     """
     mode = st["mode"]
     pos, fpos, step, smn = st["pos"], st["fpos"], st["step"], st["smn"]
@@ -206,13 +308,12 @@ def _parse_round(st, stag, fl, wa, wb, litw, candw, candb, n, accel: int):
     g_ext = mode == EXT
 
     # ---- SRCH: batch skip-schedule probes over the cand window ----
-    # Loop A marks schedule offsets on the packed window halves; probes
-    # run while in-window and short of the mflimit exhaustion rule
+    # Loop A marks schedule offsets on the window; probes run while
+    # in-window and short of the mflimit exhaustion rule
     # (lz4e_compress.c:298-307: check with the incoming step, advance by
     # it, then draw the next step from smn).
-    iot = _iota_rows(LCP)
-    mem_lo = jnp.zeros((LCP, LANES), jnp.int32)
-    mem_hi = jnp.zeros((LCP, LANES), jnp.int32)
+    iot = _iota_rows(LCPR)
+    mem = jnp.zeros((LCPR, LANES), jnp.int32)
     fp_a, st_a, sm_a = fpos, step, smn
     go = g_srch
     first_ex = jnp.full((1, LANES), BIG, jnp.int32)
@@ -224,23 +325,16 @@ def _parse_round(st, stag, fl, wa, wb, litw, candw, candb, n, accel: int):
         # off < 0: the window was rebased by other lanes' minimum while
         # this lane was mid-sequence — stall until the refill re-bases it
         probe = go & ~ex_i & (off >= 0) & (off < WPOS)
-        row = _bcast(off >> 1, LCP) == iot
-        mem_lo = mem_lo | jnp.where(row & _bcast(probe & ((off & 1) == 0),
-                                                 LCP), 1, 0)
-        mem_hi = mem_hi | jnp.where(row & _bcast(probe & ((off & 1) == 1),
-                                                 LCP), 1, 0)
+        mem = mem | jnp.where((_bcast(off, LCPR) == iot)
+                              & _bcast(probe, LCPR), 1, 0)
         fp_a = jnp.where(probe, fp_a + st_a, fp_a)
         st_a = jnp.where(probe, LK.shift_right_u(sm_a, F.SKIPTRIGGER),
                          st_a)
         sm_a = jnp.where(probe, sm_a + 1, sm_a)
         go = probe
-    d_lo = candw & 0xFFFF
-    d_hi = LK.shift_right_u(candw, 16)
-    hit_lo = jnp.min(jnp.where((mem_lo != 0) & (d_lo != 0), iot * 2, BIG),
-                     axis=0, keepdims=True)
-    hit_hi = jnp.min(jnp.where((mem_hi != 0) & (d_hi != 0),
-                               iot * 2 + 1, BIG), axis=0, keepdims=True)
-    first_hit = jnp.minimum(hit_lo, hit_hi)
+    d16w = candw & 0xFFFF
+    first_hit = jnp.min(jnp.where((mem != 0) & (d16w != 0), iot, BIG),
+                        axis=0, keepdims=True)
     # probes stop at the window edge, so every marked (probed) offset
     # precedes any detected exhaustion point: a hit always wins, and an
     # exhaustion with no hit is valid even when its own offset lies past
@@ -248,10 +342,8 @@ def _parse_round(st, stag, fl, wa, wb, litw, candw, candb, n, accel: int):
     srch_hit = g_srch & (first_hit != BIG)
     srch_done = g_srch & ~srch_hit & (first_ex != BIG)
     # extract the winning d16
-    selrow = _bcast(first_hit >> 1, LCP) == iot
-    selw = jnp.sum(jnp.where(selrow, candw, 0), axis=0, keepdims=True)
-    hit_d = jnp.where((first_hit & 1) == 0, selw & 0xFFFF,
-                      LK.shift_right_u(selw, 16))
+    selrow = _bcast(first_hit, LCPR) == iot
+    hit_d = jnp.sum(jnp.where(selrow, d16w, 0), axis=0, keepdims=True)
     hit_pos = candb + first_hit
     # loop B: replay the schedule through probes at offsets <= stop
     stop = jnp.where(srch_hit, first_hit, jnp.int32(2 * WPOS))
@@ -271,30 +363,26 @@ def _parse_round(st, stag, fl, wa, wb, litw, candw, candb, n, accel: int):
     pos = jnp.where(srch_hit, hit_pos, pos)
     mpos = jnp.where(srch_hit, hit_pos - hit_d, mpos)
     d = jnp.where(srch_hit, hit_d, d)
-    # mode transitions land in the END-of-round chain: assigning FHDR
-    # here would run the header-stream phase THIS round with the stale
-    # hk of the previous sequence's TAIL (its first hk bytes would be
-    # skipped), and entering_h would never reset it
 
     # ---- VFY / PREP / EXT: verify + catch-up + forward extension ----
-    ra0 = _r32(wa, 8)
-    rb0 = _r32(wb, 8)
+    ra0 = _r32(wa, 16)
+    rb0 = _r32(wb, 16)
     vfy_ok = g_vfy & (ra0 == rb0)
     vfy_fail = g_vfy & (ra0 != rb0)
-    # val16 false positive: the oracle's read32 check fails and the
-    # schedule continues seamlessly (state already replayed past it)
+    # hash16 false positive: the read32 check fails and the schedule
+    # continues seamlessly (state already replayed past it)
     mode = jnp.where(vfy_fail, SRCH, mode)
 
     cu = vfy_ok | g_prep
-    tc = _trail_eq8(wa, wb)
+    tc = _trail_eq16(wa, wb)
     delta = jnp.where(cu, jnp.minimum(jnp.minimum(tc, pos - anchor), mpos),
                       0)
     pos = pos - delta
     mpos = mpos - delta
-    cu_more = cu & (delta == 8) & (pos > anchor) & (mpos > 0)
+    cu_more = cu & (delta == 16) & (pos > anchor) & (mpos > 0)
 
     ext_now = (cu & ~cu_more) | g_ext
-    t_off = jnp.where(g_ext, 0, 12 - delta)
+    t_off = jnp.where(g_ext, 0, 20 - delta)
     fa = funnel(wa, t_off, CAPW - 3)
     fb = funnel(wb, t_off, CAPW - 3)
     le = jnp.minimum(_lead_eq(fa, fb), 4 * (CAPW - 3))
@@ -310,15 +398,19 @@ def _parse_round(st, stag, fl, wa, wb, litw, candw, candb, n, accel: int):
     d = jnp.where(vfy_ok | g_prep, pos - mpos, d)
     fused_ok = (lit < F.ML_MASK) & (mc < F.ML_MASK + 255)
 
-    # ---- EMIT: fused single-round emission ----
+    # ---- emission: fused into the completing verify round when the
+    # literal run sits inside the verify window (o_a >= 1), else via the
+    # EMIT fallback round (wa at anchor-4, o_a == 4) ----
     g_emit = mode == EMIT
     k_tot = 1 + lit + 2 + (mc >= F.ML_MASK).astype(jnp.int32)
+    o_a = jnp.where(g_emit, 4, 16 - delta - lit)
+    femit = ext_done & ~g_ext & fused_ok & (o_a >= 1) & (head >= k_tot)
     emit_go = g_emit & (head >= k_tot)
     emit_stall = g_emit & (head < k_tot)     # wait for a flush
+    emit_any = emit_go | femit
     token = (jnp.minimum(lit, F.RUN_MASK) << F.ML_BITS) \
         | jnp.minimum(mc, F.ML_MASK)
-    # literal image: wa holds src[anchor ..] for EMIT lanes
-    lit_img = LK.byteshift_down(wa, jnp.ones((1, LANES), jnp.int32)) \
+    lit_img = funnel(wa, jnp.maximum(o_a - 1, 0), CAPW) \
         & byte_mask(CAPW, jnp.ones((1, LANES), jnp.int32), 1 + lit)
     tw = d | LK.shift_left_u(jnp.maximum(mc - F.ML_MASK, 0), 16)
     ntail = 2 + (mc >= F.ML_MASK).astype(jnp.int32)
@@ -352,7 +444,7 @@ def _parse_round(st, stag, fl, wa, wb, litw, candw, candb, n, accel: int):
                       rby & byte_mask(CAPW, rpos, rpos + 1), 0)
     hdr_stream = ff_img | p_img | r_img
 
-    # ---- literal copy phases (LIT / FLIT): litw = src[anchor+ldone ..] ----
+    # ---- literal copy phases (LIT / FLIT): wa = src[anchor+ldone ..] ----
     g_lit = mode == LIT
     g_flit = mode == FLIT
     g_l = g_lit | g_flit
@@ -363,9 +455,9 @@ def _parse_round(st, stag, fl, wa, wb, litw, candw, candb, n, accel: int):
 
     # ---- the round's single staging write ----
     stream = jnp.where(_bcast(g_h, CAPW), hdr_stream,
-                       jnp.where(_bcast(emit_go, CAPW), emit_stream,
-                                 litw))
-    k = jnp.where(emit_go, k_tot,
+                       jnp.where(_bcast(emit_any, CAPW), emit_stream,
+                                 wa))
+    k = jnp.where(emit_any, k_tot,
                   jnp.where(g_h, k_h, k_l))
     stag = place_ring(stag, stream, opos & (rspan - 1), k)
     opos = opos + k
@@ -373,7 +465,7 @@ def _parse_round(st, stag, fl, wa, wb, litw, candw, candb, n, accel: int):
     ldone = jnp.where(g_l, ldone + k, ldone)
 
     # ---- transitions ----
-    seq_end = emit_go | (g_tail & (hk_new >= total))
+    seq_end = emit_any | (g_tail & (hk_new >= total))
     pos_n = jnp.where(seq_end, pos + F.MINMATCH + mc, pos)
     anchor = jnp.where(seq_end, pos_n, anchor)
     past = seq_end & (pos_n > mflimit)
@@ -385,8 +477,8 @@ def _parse_round(st, stag, fl, wa, wb, litw, candw, candb, n, accel: int):
     mode = jnp.where(emit_stall, EMIT,
            jnp.where(cu_more, PREP,
            jnp.where(ext_more, EXT,
-           jnp.where(ext_done, jnp.where(fused_ok, EMIT, HDR),
            jnp.where(seq_end, jnp.where(past, FHDR, SRCH),
+           jnp.where(ext_done, jnp.where(fused_ok, EMIT, HDR),
            jnp.where(g_hdr & (hk_new >= total), LIT,
            jnp.where(g_lit & (ldone >= lit), TAIL,
            jnp.where(g_fhdr & (hk_new >= total), FLIT,
@@ -407,16 +499,10 @@ def _parse_round(st, stag, fl, wa, wb, litw, candw, candb, n, accel: int):
     return st2, stag
 
 
-# ---------------------------------------------------------------------------
-# Kernel + host wrapper
-# ---------------------------------------------------------------------------
-
-
-def _kernel(src_ref, n_ref, out_ref, len_ref, err_ref,
-            tbl_ref, cand_ref, candw_ref, candb_ref, wa_ref, wb_ref,
-            litw_ref, fl_ref, *, SW: int, OR: int, CPR: int, T1: int,
-            accel: int, debug_rounds: bool = False,
-            debug_pass1: bool = False, debug_modes: bool = False):
+def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
+                  candw_ref, candb_ref, wa_ref, wb_ref, fl_ref, *,
+                  SW: int, NP: int, OR: int, accel: int,
+                  debug_rounds: bool = False, debug_modes: bool = False):
     g = 0
     n = n_ref[0]
     z = n * 0
@@ -424,24 +510,6 @@ def _kernel(src_ref, n_ref, out_ref, len_ref, err_ref,
     fhlog = FH.bit_length() - 1
     rspan = SRO * 4
 
-    # ---- pass 1: dense candidate sweep ----
-    tbl_ref[...] = _bcast(z, TROWS)
-
-    def sweep(r, c):
-        _sweep_round(r, src_ref, tbl_ref, cand_ref, g, n)
-        return c
-
-    jax.lax.fori_loop(0, T1, sweep, 0)
-
-    if debug_pass1:
-        # timing isolation: skip the parse; emit a checksum of the cand
-        # tape so the sweep cannot be dead-code-eliminated
-        out_ref[g] = _bcast(z, OR)
-        len_ref[0] = jnp.sum(cand_ref[...], axis=0, keepdims=True)
-        err_ref[0] = z
-        return
-
-    # ---- pass 2: parse & emit ----
     searchable = n >= F.MIN_LENGTH
     st = dict(mode=jnp.where(searchable, SRCH, FHDR).astype(jnp.int32),
               pos=z + 1, fpos=z + 1, step=z + 1,
@@ -452,7 +520,7 @@ def _kernel(src_ref, n_ref, out_ref, len_ref, err_ref,
         st["dbg"] = _bcast(z, 16)
     fl_ref[...] = z
     candb_ref[...] = z - 4 * WPOS            # poisoned: first refill fires
-    max_rounds = jnp.int32(8 * SW + 4096)
+    max_rounds = jnp.int32(2 * NP + 4096)
     margin = 2 * CAP + 8
 
     def cond(c):
@@ -467,8 +535,8 @@ def _kernel(src_ref, n_ref, out_ref, len_ref, err_ref,
         live = mode != DONE
         g_srch = mode == SRCH
         g_ab = (mode == VFY) | (mode == PREP) | (mode == EXT)
-        g_a = g_ab | (mode == EMIT)
         g_l = (mode == LIT) | (mode == FLIT)
+        g_a = g_ab | (mode == EMIT) | g_l
         candb = candb_ref[...]
 
         # ---- batched round-start decisions ----
@@ -478,33 +546,27 @@ def _kernel(src_ref, n_ref, out_ref, len_ref, err_ref,
         packed1 = jnp.sum(r_need.astype(jnp.int32)
                           + (g_a.astype(jnp.int32) << 8)
                           + (g_ab.astype(jnp.int32) << 16))
-        packed2 = jnp.sum(g_l.astype(jnp.int32)
-                          + (f_need.astype(jnp.int32) << 8))
+        packed2 = jnp.sum(f_need.astype(jnp.int32))
         # cand window rebase (idle lanes clamp into the live span)
-        cb_lo = jnp.min(jnp.where(g_srch, st["fpos"], BIG)) & ~1
-        cb_new = jnp.where(g_srch, st["fpos"] & ~1, cb_lo)
-        crb = cb_new >> 1                        # cand tape row base
-        c_lo = jnp.min(crb) >> blog
-        c_hi = jnp.max(crb) >> blog
-        # wa / wb / lit addresses (idle lanes clamp to the live minimum)
+        cb_lo = jnp.min(jnp.where(g_srch, st["fpos"], BIG))
+        cb_new = jnp.where(g_srch, st["fpos"], cb_lo)
+        c_lo = jnp.min(cb_new) >> blog
+        c_hi = jnp.max(cb_new) >> blog
+        # wa / wb addresses (idle lanes clamp to the live minimum)
         wa_addr = jnp.where(mode == EXT, st["pos"] + F.MINMATCH + st["mc"],
-                            jnp.where(mode == EMIT, st["anchor"],
-                                      st["pos"] - 8))
+                   jnp.where(mode == EMIT, st["anchor"] - 4,
+                    jnp.where(g_l, st["anchor"] + st["ldone"],
+                              st["pos"] - 16)))
         wa_lo = jnp.min(jnp.where(g_a, wa_addr, BIG))
         wa_c = jnp.where(g_a, wa_addr, wa_lo)
         a_lo = jnp.min(wa_c) >> (2 + blog)
         a_hi = jnp.max(wa_c) >> (2 + blog)
         wb_addr = jnp.where(mode == EXT, st["mpos"] + F.MINMATCH + st["mc"],
-                            st["mpos"] - 8)
+                            st["mpos"] - 16)
         wb_lo = jnp.min(jnp.where(g_ab, wb_addr, BIG))
         wb_c = jnp.where(g_ab, wb_addr, wb_lo)
         b_lo = jnp.min(wb_c) >> (2 + blog)
         b_hi = jnp.max(wb_c) >> (2 + blog)
-        li_addr = st["anchor"] + st["ldone"]
-        li_lo = jnp.min(jnp.where(g_l, li_addr, BIG))
-        li_c = jnp.where(g_l, li_addr, li_lo)
-        l_lo = jnp.min(li_c) >> (2 + blog)
-        l_hi = jnp.max(li_c) >> (2 + blog)
         # flush rows
         opr = st["opos"] >> 2
         nfl = jnp.maximum(((opr - fl) >> fhlog) << fhlog, 0)
@@ -515,7 +577,7 @@ def _kernel(src_ref, n_ref, out_ref, len_ref, err_ref,
         @pl.when((packed1 & 255) != 0)
         def _refill_cand():
             candw_ref[...] = extract_rows_banded(
-                cand_ref, None, crb, LCP, CPR, bounds=(c_lo, c_hi))
+                cand_ref, g, cb_new, LCPR, NP, bounds=(c_lo, c_hi))
             candb_ref[...] = cb_new
 
         @pl.when(((packed1 >> 8) & 255) != 0)
@@ -529,11 +591,6 @@ def _kernel(src_ref, n_ref, out_ref, len_ref, err_ref,
                 src_ref, g, wb_c, CAPW, SW, bounds=(b_lo, b_hi))
 
         @pl.when((packed2 & 255) != 0)
-        def _load_lit():
-            litw_ref[...] = extract_bytes_banded(
-                src_ref, g, li_c, CAPW, SW, bounds=(l_lo, l_hi))
-
-        @pl.when(((packed2 >> 8) & 255) != 0)
         def _do_flush():
             flush_ring(stag, out_ref, g, fl, nfl, OR,
                        bounds=(wf_lo, wf_hi))
@@ -541,19 +598,16 @@ def _kernel(src_ref, n_ref, out_ref, len_ref, err_ref,
 
         fl2 = fl_ref[...]
         st2, stag = _parse_round(st, stag, fl2, wa_ref[...], wb_ref[...],
-                                 litw_ref[...], candw_ref[...],
+                                 candw_ref[...] & 0xFFFF,
                                  candb_ref[...], n, accel)
         if debug_modes:
-            # rows 0..10: rounds spent in each mode (pre-round mode);
-            # rows 11..15: rounds where each wrapper load class fired
             rows16 = _iota_rows(16)
             inc = (rows16 == _bcast(mode, 16)).astype(jnp.int32)
             for ridx, fired in (
                     (11, (packed1 & 255) != 0),
                     (12, ((packed1 >> 8) & 255) != 0),
                     (13, ((packed1 >> 16) & 255) != 0),
-                    (14, (packed2 & 255) != 0),
-                    (15, ((packed2 >> 8) & 255) != 0)):
+                    (15, (packed2 & 255) != 0)):
                 inc = inc + jnp.where(rows16 == ridx,
                                       fired.astype(jnp.int32), 0)
             st2["dbg"] = st["dbg"] + inc
@@ -571,60 +625,85 @@ def _kernel(src_ref, n_ref, out_ref, len_ref, err_ref,
     err_ref[0] = st["rounds"] if debug_rounds else err
 
 
+# ---------------------------------------------------------------------------
+# Host wrapper
+# ---------------------------------------------------------------------------
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block_size", "accel", "interpret",
-                                    "sort", "debug_rounds", "debug_pass1",
-                                    "debug_modes"))
-def compress_blocks_lockstep_enc2(raw, raw_len, block_size: int,
+                                    "group_sort", "debug_rounds",
+                                    "debug_modes", "cand_only"))
+def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
                                   accel: int = 1,
                                   interpret: bool = False,
-                                  sort: bool = False,
+                                  group_sort: bool = True,
                                   debug_rounds: bool = False,
-                                  debug_pass1: bool = False,
-                                  debug_modes: bool = False):
-    """Compress a batch of independent LZ4 blocks (v2 dense engine).
+                                  debug_modes: bool = False,
+                                  cand_only: bool = False):
+    """Compress a batch of independent LZ4 blocks (v3 sort engine).
 
     raw uint8 [B, block_size] zero-padded, raw_len int32 [B] ->
     (comp uint8 [B, compress_bound(block_size)], comp_len int32 [B],
     err bool [B]). Output bytes are exactly golden.compress_dense
-    (accel semantics included); err is nonzero only if the machine
-    failed to converge, which on any input is a bug, not a data
+    (hashlog=16, accel semantics included); err is nonzero only if the
+    machine failed to converge, which on any input is a bug, not a data
     condition (the rounds cap is a backstop).
+
+    group_sort: re-group blocks between the candidate and parse passes
+    by candidate density so same-cost blocks share lockstep groups.
+    cand_only: return the raw cand tapes (pass-1 timing/parity probes).
     """
+    if block_size > 65536:
+        raise ValueError("enc3 kernel path caps at 64 KiB blocks "
+                         "(pos16 sort keys); larger blocks frame-split")
     raw = jnp.asarray(raw, jnp.uint8)
     raw_len = jnp.asarray(raw_len, jnp.int32)
     nb, slot = raw.shape
     assert slot >= block_size
+    np_ = 1 << max(block_size - 1, 1).bit_length()
     ng = -(-nb // LANES)
     pad = ng * LANES - nb
     if pad:
         raw = jnp.pad(raw, ((0, pad), (0, 0)))
         raw_len = jnp.pad(raw_len, (0, pad))
-    if sort and ng > 1:
-        order = jnp.argsort(raw_len)
-        inv = jnp.argsort(order)
-        raw = raw[order]
-        raw_len = raw_len[order]
     g8 = raw.reshape(ng, LANES, slot)
     gl = raw_len.reshape(ng, LANES)
     tapes = jax.vmap(LK.pack_tapes)(g8, gl)            # (ng, SW0, 128)
-    sw = tapes.shape[1] + 8                            # sweep overread pad
+    sw = max(tapes.shape[1] + 8, np_ // 4 + 8)
     sw = -(-sw // BAND) * BAND                         # banded-scan slabs
     tapes = jnp.pad(tapes, ((0, 0), (0, sw - tapes.shape[1]), (0, 0)))
+    nlane = gl.reshape(ng, 1, LANES)
+
+    # ---- pass 1: candidates ----
+    cand, dens = _cand_call(tapes, nlane, np_, interpret)
+    if cand_only:
+        return cand, dens
+
+    # ---- regroup by density (slowest blocks share groups) ----
+    if group_sort and ng > 1:
+        dens_b = dens.transpose(0, 2, 1).reshape(ng * LANES)
+        order = jnp.argsort(-dens_b)
+        inv = jnp.argsort(order)
+        tapes = tapes.transpose(0, 2, 1).reshape(ng * LANES, sw)[order] \
+            .reshape(ng, LANES, sw).transpose(0, 2, 1)
+        cand = cand.transpose(0, 2, 1).reshape(ng * LANES, np_)[order] \
+            .reshape(ng, LANES, np_).transpose(0, 2, 1)
+        gl_s = gl.reshape(-1)[order].reshape(ng, LANES)
+        nlane = gl_s.reshape(ng, 1, LANES)
+
     bound = F.compress_bound(block_size)
     out_cap = -(-bound // (4 * BAND)) * (4 * BAND)
     orr = out_cap // 4
-    t1 = -(-block_size // K1)
-    cpr = -(-(t1 * (K1 // 2)) // BAND) * BAND
-    nlane = gl.reshape(ng, 1, LANES)
 
     out, out_len, err = pl.pallas_call(
-        functools.partial(_kernel, SW=sw, OR=orr, CPR=cpr, T1=t1,
+        functools.partial(_parse_kernel, SW=sw, NP=np_, OR=orr,
                           accel=accel, debug_rounds=debug_rounds,
-                          debug_pass1=debug_pass1, debug_modes=debug_modes),
+                          debug_modes=debug_modes),
         grid=(ng,),
         in_specs=[
             pl.BlockSpec((1, sw, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, np_, LANES), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
         ],
         out_specs=[
@@ -638,28 +717,25 @@ def compress_blocks_lockstep_enc2(raw, raw_len, block_size: int,
             jax.ShapeDtypeStruct((ng, 1, LANES), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TROWS, LANES), jnp.int32),     # hash table
-            pltpu.VMEM((cpr, LANES), jnp.int32),       # cand tape
-            pltpu.VMEM((LCP, LANES), jnp.int32),       # cand window
+            pltpu.VMEM((LCPR, LANES), jnp.int32),      # cand window
             pltpu.VMEM((1, LANES), jnp.int32),         # cand window base
             pltpu.VMEM((CAPW, LANES), jnp.int32),      # wa operand
             pltpu.VMEM((CAPW, LANES), jnp.int32),      # wb operand
-            pltpu.VMEM((CAPW, LANES), jnp.int32),      # literal stream
             pltpu.VMEM((1, LANES), jnp.int32),         # flush frontier
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
-    )(tapes, nlane)
+    )(tapes, cand, nlane)
 
     data = jax.vmap(LK.unpack_tapes)(out)
     data = data.reshape(ng * LANES, out_cap)
     out_len = out_len.reshape(-1)
     err = err.reshape(-1)
-    if sort and ng > 1:
+    if group_sort and ng > 1:
         data = data[inv]
         out_len = out_len[inv]
         err = err[inv]
-    if debug_rounds:
+    if debug_rounds or debug_modes:
         return data[:nb, :bound], out_len[:nb], err[:nb]
     return data[:nb, :bound], out_len[:nb], err[:nb].astype(bool)

@@ -25,6 +25,7 @@ def main():
     accel = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     dbg_rounds = bool(int(os.environ.get("E2_ROUNDS", "0")))
     dbg_pass1 = bool(int(os.environ.get("E2_PASS1", "0")))
+    dbg_modes = bool(int(os.environ.get("E2_MODES", "0")))
     bs = bs_kib * 1024
     nb = groups * 128
 
@@ -42,7 +43,8 @@ def main():
     print(f"[e2] device {dev}", flush=True)
     raw_d = jax.device_put(raw_np, dev)
     rlen_d = jax.device_put(rlen_np, dev)
-    kw = dict(accel=accel, debug_rounds=dbg_rounds, debug_pass1=dbg_pass1)
+    kw = dict(accel=accel, debug_rounds=dbg_rounds, debug_pass1=dbg_pass1,
+              debug_modes=dbg_modes)
 
     t0 = time.perf_counter()
     comp, clen, err = compress_blocks_lockstep_enc2(
@@ -55,6 +57,20 @@ def main():
         r = np.asarray(err)
         print(f"[e2] rounds: max={r.max()} mean={r.mean():.0f} "
               f"min={r.min()}", flush=True)
+        return
+    if dbg_modes:
+        names = ["SRCH", "VFY", "PREP", "EXT", "EMIT", "HDR", "LIT",
+                 "TAIL", "FHDR", "FLIT", "DONE", "w:refill", "w:wa",
+                 "w:wb", "w:lit", "w:flush"]
+        cnt = np.asarray(comp)[:, :64].copy().view(np.uint32)  # (nb, 16)
+        tot_rounds = cnt[:, :11].sum(axis=1)
+        print(f"[e2] rounds/lane: max={tot_rounds.max()} "
+              f"mean={tot_rounds.mean():.0f}", flush=True)
+        for m, nm in enumerate(names):
+            c = cnt[:, m]
+            print(f"[e2]   {nm:9s} mean={c.mean():8.0f} max={c.max():8d} "
+                  f"({100 * c.mean() / max(tot_rounds.mean(), 1):.1f}%)",
+                  flush=True)
         return
     if not dbg_pass1:
         nerr = int(jnp.sum(err))
