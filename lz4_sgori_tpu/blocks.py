@@ -189,6 +189,17 @@ def compress_to_blocks(data: bytes, block_size: int = DEFAULT_BLOCK_SIZE, *,
     comp = np.array(comp)
     comp_len = np.array(comp_len)
 
+    # comp_len == 0 for a nonempty block is the device encoder's failure
+    # signal (enc3 routes its convergence err flag here); re-encode on the
+    # host unconditionally so the contract holds even with verify=False
+    host_enc0 = native.compress if native.available() else golden.compress
+    for j in np.nonzero((comp_len == 0) & (raw_len > 0))[0]:
+        fixed = host_enc0(raw[j, :raw_len[j]].tobytes())
+        comp[j, :len(fixed)] = np.frombuffer(fixed, np.uint8)
+        comp_len[j] = len(fixed)
+        if stats is not None:
+            stats.record_fallback()
+
     if verify:
         # Batched decode-verify: ONE device round trip for the whole
         # container (the reference verifies in-band per write,

@@ -199,22 +199,28 @@ def compress_blocks_device(raw, raw_len, block_size: int,
     if nbp != nb:
         raw = jnp.pad(raw, ((0, nbp - nb), (0, 0)))
         raw_len = jnp.pad(raw_len, (0, nbp - nb))
-    # SMEM mirrors bound the kernel's block size; larger blocks use the
-    # portable XLA program (which is also the only match_depth > 1 engine)
-    from .pallas.encode_kernel import PALLAS_MAX_BLOCK
-    use_pallas = impl == "pallas" or (
+    # pos16 sort keys bound the lockstep kernel's block size; larger
+    # blocks use the portable XLA program (also the only match_depth > 1
+    # engine). impl="scalar" forces the round-1 scalar-core kernel (the
+    # LZ4_compress_fast byte-parity engine, blocks <= 64 KiB).
+    use_pallas = impl in ("pallas", "scalar") or (
         impl == "auto" and jax.default_backend() == "tpu"
-        and block_size <= PALLAS_MAX_BLOCK)
+        and block_size <= 65536)
     if use_pallas:
-        if match_depth is not None and match_depth > 1 and impl != "pallas":
+        if match_depth is not None and match_depth > 1 and impl == "auto":
             import warnings
             warnings.warn(
-                f"match_depth={match_depth} requested but the TPU greedy "
+                f"match_depth={match_depth} requested but the TPU lockstep "
                 "kernel is selected (impl='auto'); deep match runs greedy "
                 "level-1 here. Pass impl='xla' to force the deep-match "
                 "engine.", stacklevel=2)
-        comp, comp_len = compress_blocks_pallas_dispatch(
-            raw, raw_len, block_size, acceleration)
+        if impl == "scalar":
+            from .pallas.encode_kernel import compress_blocks_pallas
+            comp, comp_len = compress_blocks_pallas(
+                raw, raw_len, block_size, acceleration=acceleration)
+        else:
+            comp, comp_len = compress_blocks_pallas_dispatch(
+                raw, raw_len, block_size, acceleration)
     else:
         if acceleration > 1:
             import warnings
@@ -233,10 +239,19 @@ def compress_blocks_device(raw, raw_len, block_size: int,
 def compress_blocks_pallas_dispatch(raw, raw_len, block_size: int,
                                     acceleration: int = 1):
     """Indirection point for the TPU kernel path (lets tests monkeypatch
-    and keeps the lazy import in one place)."""
-    from .pallas.encode_kernel import compress_blocks_pallas
-    return compress_blocks_pallas(raw, raw_len, block_size,
-                                  acceleration=acceleration)
+    and keeps the lazy import in one place).
+
+    The engine is the enc3 sort-based lockstep kernel, byte-exact to
+    golden.compress_dense(hashlog=16). Its convergence err flag (a bug
+    indicator, never a data condition) folds into comp_len == 0: the
+    framing layer's decode-verify then re-encodes that block on the host
+    (blocks.py fallback), so the bit-exact contract survives even a
+    kernel defect."""
+    from .pallas.lockstep_enc3 import compress_blocks_lockstep_enc3
+    comp, comp_len, err = compress_blocks_lockstep_enc3(
+        raw, raw_len, block_size, accel=acceleration)
+    comp_len = jnp.where(err, 0, comp_len)
+    return comp, comp_len
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "match_depth"))

@@ -1,0 +1,118 @@
+"""enc3 sort-based encoder: interpret-mode parity with the hash16 dense
+oracle.
+
+The v3 engine's contract is byte-exactness to golden.compress_dense
+(hashlog=16) — NOT LZ4_compress_default parity; the dense parse
+compresses slightly better in aggregate (see
+test_golden_dense_size_contract in test_lockstep_enc2). One compact
+launch per case: interpret mode is slow.
+"""
+
+import numpy as np
+
+from lz4_sgori_tpu import golden
+
+
+def _run(blocks, bs, accel=1, group_sort=True):
+    from lz4_sgori_tpu.ops.pallas.lockstep_enc3 import (
+        compress_blocks_lockstep_enc3)
+    raw = np.zeros((len(blocks), bs), np.uint8)
+    rlen = np.zeros(len(blocks), np.int32)
+    for j, b in enumerate(blocks):
+        raw[j, :len(b)] = np.frombuffer(b, np.uint8)
+        rlen[j] = len(b)
+    comp, clen, err = compress_blocks_lockstep_enc3(
+        raw, rlen, bs, accel=accel, interpret=True, group_sort=group_sort)
+    comp = np.asarray(comp)
+    for j, b in enumerate(blocks):
+        want = golden.compress_dense(b, acceleration=accel, hashlog=16)
+        assert not bool(err[j]), f"block {j}: err"
+        got = bytes(comp[j, :int(clen[j])])
+        assert got == want, f"block {j}: {len(got)}B vs {len(want)}B"
+        assert golden.decompress(got, len(b)) == b
+
+
+def test_enc3_pass1_candidates():
+    """The sort kernel's d16 tape must match dense_candidates(hashlog=16,
+    no val16 prefilter) exactly, in position order."""
+    from lz4_sgori_tpu.ops.pallas.lockstep_enc3 import (
+        compress_blocks_lockstep_enc3)
+    rng = np.random.RandomState(5)
+    bs = 1024
+    blocks = [
+        (b"abcab" * 300)[:bs],
+        bytes(rng.randint(0, 256, bs).astype(np.uint8)),
+        bytes(rng.randint(0, 4, bs).astype(np.uint8)),
+        bytes(bs),
+        b"xyz",                         # < MINMATCH positions
+    ]
+    raw = np.zeros((len(blocks), bs), np.uint8)
+    rlen = np.zeros(len(blocks), np.int32)
+    for j, b in enumerate(blocks):
+        raw[j, :len(b)] = np.frombuffer(b, np.uint8)
+        rlen[j] = len(b)
+    cand, dens = compress_blocks_lockstep_enc3(
+        raw, rlen, bs, interpret=True, cand_only=True)
+    cand = np.asarray(cand)
+    np_rows = cand.shape[1]
+    for j, b in enumerate(blocks):
+        want = golden.dense_candidates(b, hashlog=16, val16_filter=False)
+        wantp = np.zeros(np_rows, np.int64)
+        wantp[:len(want)] = want
+        got = cand[0, :, j] & 0xFFFF
+        pos = (cand[0, :, j] >> 16) & 0xFFFF
+        assert np.array_equal(pos, np.arange(np_rows)), f"block {j}: order"
+        assert np.array_equal(got, wantp), f"block {j}: d16"
+        assert int(dens[0, 0, j]) == int((wantp != 0).sum())
+
+
+def test_enc3_parity_small():
+    rng = np.random.RandomState(9)
+    bs = 512
+    blocks = [
+        bytes(bs),                                       # zeros
+        b"the quick brown fox " * 25,                    # text
+        bytes(rng.randint(0, 256, bs, np.int64).astype(np.uint8)),
+        b"ab" * (bs // 2),                               # offset-2
+        (bytes(rng.randint(0, 256, 100).astype(np.uint8)) * 6)[:bs],
+        b"z" * 37,
+        b"",
+        b"abc",                                          # < MIN_LENGTH
+        bytes(rng.randint(0, 3, bs, np.int64).astype(np.uint8)),
+        # a TAIL-streamed sequence (lit >= 15) followed by a matchless
+        # random tail (the mid-round FHDR-entry regression from enc2)
+        bytes(rng.randint(0, 256, 20).astype(np.uint8)) + bytes(100)
+        + bytes(rng.randint(0, 256, 392).astype(np.uint8)),
+    ]
+    _run(blocks, bs)
+
+
+def test_enc3_parity_multigroup():
+    """> 128 blocks exercises the density regrouping permutation and its
+    inverse (blocks must come back in caller order)."""
+    rng = np.random.RandomState(12)
+    bs = 256
+    blocks = []
+    for j in range(130):
+        kind = j % 3
+        if kind == 0:
+            blocks.append(bytes(rng.randint(0, 256, bs).astype(np.uint8)))
+        elif kind == 1:
+            blocks.append((b"lorem ipsum " * 40)[:bs])
+        else:
+            blocks.append(bytes(rng.randint(0, 3, bs).astype(np.uint8)))
+    _run(blocks, bs)
+
+
+def test_enc3_acceleration():
+    rng = np.random.RandomState(10)
+    parts = []
+    for _ in range(40):
+        parts.append(bytes(rng.randint(0, 256, 23).astype(np.uint8)))
+        parts.append(b"MAGIC")
+    data = b"".join(parts) + bytes(60)
+    bs = len(data)
+    _run([data, bytes(bs), data[::-1]], bs, accel=8)
+    a1 = golden.compress_dense(data, hashlog=16)
+    a8 = golden.compress_dense(data, acceleration=8, hashlog=16)
+    assert a1 != a8 and len(a8) >= len(a1)
