@@ -40,7 +40,6 @@ import numpy as np
 
 BLOCK_SIZE = 65536
 CORPUS_MB = 32
-ENC_SUB = 128    # blocks per encode launch (one block per grid cell)
 # the lockstep decode engine runs 128 blocks per grid cell; decode launches
 # therefore carry the whole corpus (block counts here are 128-multiples)
 DEEP_BASE_MIB = int(os.environ.get("LZ4J_DEEP_BASE_MIB", "8"))
@@ -149,44 +148,40 @@ def main() -> None:
     data = _synth_corpus(CORPUS_MB << 20)
     raw_np, rlen_np = split_blocks(data, BLOCK_SIZE)
     nblocks = raw_np.shape[0]
-    assert nblocks % ENC_SUB == 0, (nblocks, ENC_SUB)
+    assert nblocks % 128 == 0, nblocks  # full 128-lane lockstep groups
 
     dev = jax.devices()[0]
-    raw_chunks = [
-        (jax.device_put(raw_np[s:s + ENC_SUB], dev),
-         jax.device_put(rlen_np[s:s + ENC_SUB], dev))
-        for s in range(0, nblocks, ENC_SUB)]
+    raw_all = jax.device_put(raw_np, dev)
+    rlen_all = jax.device_put(rlen_np, dev)
     _log(f"corpus {CORPUS_MB} MiB, {nblocks} blocks of {BLOCK_SIZE}, "
          f"device {dev}")
 
-    # --- device encode (streamed in sub-batches; one compiled shape;
-    # compress_blocks_device auto-selects the Pallas kernel on TPU) ---
+    # --- device encode: ONE launch over the whole corpus (the enc3
+    # lockstep engine grids over 128-block groups internally and its
+    # density regrouping needs the full batch) ---
     def run_encode():
-        outs = [compress_blocks_device(r, rl, BLOCK_SIZE)
-                for r, rl in raw_chunks]
-        # force completion of every launch via a scalar that depends on all
-        total = sum(jnp.sum(cl) for _, cl in outs)
-        return outs, int(total)
+        comp, clen = compress_blocks_device(raw_all, rlen_all, BLOCK_SIZE)
+        return comp, clen, int(jnp.sum(clen))
 
     def launch_encode(n):
         acc = None
         for _ in range(n):
-            outs = [compress_blocks_device(r, rl, BLOCK_SIZE)
-                    for r, rl in raw_chunks]
-            s = sum(jnp.sum(cl) for _, cl in outs)
+            comp, clen = compress_blocks_device(raw_all, rlen_all,
+                                                BLOCK_SIZE)
+            s = jnp.sum(clen) + jnp.sum(comp[0, :8].astype(jnp.int32))
             acc = s if acc is None else acc + s
         return int(acc)
 
     _log("compiling + warming encode...")
-    enc_out, comp_total = run_encode()
+    comp_dev, clen_dev, comp_total = run_encode()
     _log("timing encode...")
     t_enc = _time_diff(launch_encode, K=2)
     enc_gbps = len(data) / t_enc / 1e9
     _log(f"encode {enc_gbps:.3f} GB/s, compressed {comp_total}")
 
-    # keep compressed data on device; spot-check one sub-batch on host
-    comp0 = np.asarray(enc_out[0][0])
-    clen0 = np.asarray(enc_out[0][1])
+    # keep compressed data on device; spot-check one block on host
+    comp0 = np.asarray(comp_dev[:1])
+    clen0 = np.asarray(clen_dev[:1])
     from lz4_sgori_tpu import golden
     got = golden.decompress(comp0[0, :clen0[0]].tobytes(), BLOCK_SIZE)
     assert got == data[:BLOCK_SIZE], "encode spot-check failed"
@@ -195,12 +190,9 @@ def main() -> None:
     # --- device decode (headline): one launch over the whole corpus so the
     # lockstep engine fills its 128-block grid cells and its cost-sorting
     # sees the full batch ---
-    slot = enc_out[0][0].shape[1] + 8
-    comp_all = jnp.concatenate(
-        [jnp.pad(c, ((0, 0), (0, slot - c.shape[1]))) for c, _ in enc_out])
-    clen_all = jnp.concatenate([cl for _, cl in enc_out])
-    raw_all = jnp.concatenate([r for r, _ in raw_chunks])
-    rlen_all = jnp.concatenate([rl for _, rl in raw_chunks])
+    slot = comp_dev.shape[1] + 8
+    comp_all = jnp.pad(comp_dev, ((0, 0), (0, slot - comp_dev.shape[1])))
+    clen_all = clen_dev
 
     def run_decode():
         # decompress_blocks_device auto-selects the lockstep engine on TPU
@@ -318,29 +310,26 @@ def main() -> None:
             chunks.append(rng.randint(0, 256, 4096).astype(np.uint8))
     raw4 = np.stack(chunks)
     rlen4 = np.full(1024, 4096, np.int32)
-    chunks4 = [(jax.device_put(raw4[s:s + ENC_SUB], dev),
-                jax.device_put(rlen4[s:s + ENC_SUB], dev))
-               for s in range(0, 1024, ENC_SUB)]
+    raw4_d = jax.device_put(raw4, dev)
+    rlen4_d = jax.device_put(rlen4, dev)
 
     def run_enc4():
-        outs = [compress_blocks_device(r, rl, 4096) for r, rl in chunks4]
-        return outs, int(sum(jnp.sum(cl) for _, cl in outs))
+        comp, clen = compress_blocks_device(raw4_d, rlen4_d, 4096)
+        return comp, clen, int(jnp.sum(clen))
 
     def launch_enc4(n):
         acc = None
         for _ in range(n):
-            outs = [compress_blocks_device(r, rl, 4096) for r, rl in chunks4]
-            s = sum(jnp.sum(cl) for _, cl in outs)
+            comp, clen = compress_blocks_device(raw4_d, rlen4_d, 4096)
+            s = jnp.sum(clen) + jnp.sum(comp[0, :8].astype(jnp.int32))
             acc = s if acc is None else acc + s
         return int(acc)
 
     _log("config 3 (4 KiB bdev mix): encode...")
-    enc4, total4 = run_enc4()
+    comp4_dev, clen4, total4 = run_enc4()
     t_enc4 = _time_diff(launch_enc4, K=2)
-    slot4 = enc4[0][0].shape[1] + 8
-    comp4 = jnp.concatenate(
-        [jnp.pad(c, ((0, 0), (0, slot4 - c.shape[1]))) for c, _ in enc4])
-    clen4 = jnp.concatenate([cl for _, cl in enc4])
+    slot4 = comp4_dev.shape[1] + 8
+    comp4 = jnp.pad(comp4_dev, ((0, 0), (0, slot4 - comp4_dev.shape[1])))
 
     def run_dec4():
         out, ln, e = decompress_blocks_device(comp4, clen4, 4096)

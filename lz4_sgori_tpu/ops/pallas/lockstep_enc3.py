@@ -55,11 +55,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ... import format as F
 from . import lockstep as LK
 from .lockstep import (
-    CAP, CAPW, FR,
+    CAP, CAPW,
     _iota_rows, _bcast,
     funnel, byte_mask,
 )
-from .lockstep_enc import _at_byte, _lead_eq, _r32
 from .lockstep_v4 import BAND, extract_bytes_banded, extract_rows_banded
 from .lockstep_v6 import FH, flush_ring, place_ring
 
@@ -86,6 +85,40 @@ TAIL = 7      # offset + match-LSIC stream
 FHDR = 8      # last-literals token + LSIC
 FLIT = 9      # last-literals copy
 DONE = 10
+
+
+def _r32(win, j: int):
+    """Static-offset unaligned LE32 read from a byte-aligned window."""
+    lo = win[j // 4:j // 4 + 1]
+    sh = (j % 4) * 8
+    if sh == 0:
+        return lo
+    hi = win[j // 4 + 1:j // 4 + 2]
+    return LK.shift_right_u(lo, sh) | LK.shift_left_u(hi, 32 - sh)
+
+
+def _lead_eq(wa, wb):
+    """Per-lane count of leading equal bytes of two (W,128) windows."""
+    w = wa.shape[0]
+    x = wa ^ wb
+    idx = _iota_rows(w)
+    w1 = jnp.min(jnp.where(x != 0, idx, w), axis=0, keepdims=True)
+    xw = jnp.sum(jnp.where(idx == _bcast(w1, w), x, 0), axis=0,
+                 keepdims=True)
+    b0 = ((xw & 0xFF) == 0).astype(jnp.int32)
+    b1 = ((xw & 0xFF00) == 0).astype(jnp.int32)
+    b2 = ((xw & jnp.int32(0xFF0000)) == 0).astype(jnp.int32)
+    tz = b0 + b0 * b1 + b0 * b1 * b2
+    return jnp.where(w1 == w, 4 * w, 4 * w1 + tz)
+
+
+def _at_byte(val_word, pos, nbytes, w: int):
+    """(w,128) image with `nbytes` low bytes of val_word at byte offset
+    pos (pos + nbytes <= 4*w)."""
+    img = jnp.concatenate(
+        [val_word, jnp.zeros((w - 1, LANES), jnp.int32)], axis=0)
+    img = LK.byteshift_down(LK.rotate_down(img, pos >> 2, w), pos & 3)
+    return img & LK.byte_mask(w, pos, pos + nbytes)
 
 
 def _trail_eq16(wa, wb):
@@ -252,11 +285,12 @@ def _cand_kernel(src_ref, n_ref, cand_ref, dens_ref, *, NP: int):
 
 
 def _cand_call(tapes, nlane, NP: int, interpret: bool):
-    ng = tapes.shape[0]
+    """One kernel invocation per 128-lane group: with a multi-group grid
+    the pipeline double-buffers the 32 MB cand output and blows VMEM."""
     sw = tapes.shape[1]
-    return pl.pallas_call(
+    call = pl.pallas_call(
         functools.partial(_cand_kernel, NP=NP),
-        grid=(ng,),
+        grid=(1,),
         in_specs=[
             pl.BlockSpec((1, sw, LANES), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
@@ -266,13 +300,17 @@ def _cand_call(tapes, nlane, NP: int, interpret: bool):
             pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((ng, NP, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((ng, 1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, NP, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1, LANES), jnp.int32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
-    )(tapes, nlane)
+    )
+    outs = [call(tapes[g:g + 1], nlane[g:g + 1])
+            for g in range(tapes.shape[0])]
+    return (jnp.concatenate([o[0] for o in outs], axis=0),
+            jnp.concatenate([o[1] for o in outs], axis=0))
 
 
 # ---------------------------------------------------------------------------
@@ -280,7 +318,8 @@ def _cand_call(tapes, nlane, NP: int, interpret: bool):
 # ---------------------------------------------------------------------------
 
 
-def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int):
+def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
+                 wok: bool = True):
     """Advance every live lane one step of its mode.
 
     Operands loaded by the round wrapper (banded, gated, per round):
@@ -291,6 +330,12 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int):
            mpos+4+mc);
       candw (LCPR,128): cand rows [candb ..) — row i = d16 of position
            candb + i in the low 16 bits.
+
+    wok (static): whether wa/wb match this round's lane addresses. The
+    unrolled sub-round after the loads runs with wok=False: modes that
+    consume the windows (VFY/PREP/EXT/EMIT/LIT/FLIT) park — statically
+    False gates let XLA fold their whole dataflow away — while SRCH and
+    the register-only stream phases (HDR/TAIL/FHDR) keep advancing.
     """
     mode = st["mode"]
     pos, fpos, step, smn = st["pos"], st["fpos"], st["step"], st["smn"]
@@ -303,9 +348,9 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int):
     head = fl * 4 + rspan - opos
 
     g_srch = mode == SRCH
-    g_vfy = mode == VFY
-    g_prep = mode == PREP
-    g_ext = mode == EXT
+    g_vfy = (mode == VFY) & wok
+    g_prep = (mode == PREP) & wok
+    g_ext = (mode == EXT) & wok
 
     # ---- SRCH: batch skip-schedule probes over the cand window ----
     # Loop A marks schedule offsets on the window; probes run while
@@ -401,7 +446,7 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int):
     # ---- emission: fused into the completing verify round when the
     # literal run sits inside the verify window (o_a >= 1), else via the
     # EMIT fallback round (wa at anchor-4, o_a == 4) ----
-    g_emit = mode == EMIT
+    g_emit = (mode == EMIT) & wok
     k_tot = 1 + lit + 2 + (mc >= F.ML_MASK).astype(jnp.int32)
     o_a = jnp.where(g_emit, 4, 16 - delta - lit)
     femit = ext_done & ~g_ext & fused_ok & (o_a >= 1) & (head >= k_tot)
@@ -445,8 +490,8 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int):
     hdr_stream = ff_img | p_img | r_img
 
     # ---- literal copy phases (LIT / FLIT): wa = src[anchor+ldone ..] ----
-    g_lit = mode == LIT
-    g_flit = mode == FLIT
+    g_lit = (mode == LIT) & wok
+    g_flit = (mode == FLIT) & wok
     g_l = g_lit | g_flit
     l_total = jnp.where(g_flit, last, lit)
     k_l = jnp.clip(jnp.minimum(jnp.minimum(l_total - ldone,
@@ -487,10 +532,16 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int):
            jnp.where(srch_done, FHDR,
                      mode)))))))))))
     pos = pos_n
-    entering_h = ((mode == HDR) & ~g_hdr) | ((mode == TAIL) & ~g_tail) \
-        | ((mode == FHDR) & ~g_fhdr)
+    # entering detection must compare against the RAW previous mode:
+    # g_lit/g_flit are wok-gated, so "& ~g_flit" would read a parked
+    # sub-round's FLIT lane as ENTERING and zero its progress every round
+    mode0 = st["mode"]
+    entering_h = ((mode == HDR) & (mode0 != HDR)) \
+        | ((mode == TAIL) & (mode0 != TAIL)) \
+        | ((mode == FHDR) & (mode0 != FHDR))
     hk = jnp.where(entering_h, 0, hk_new)
-    entering_l = ((mode == LIT) & ~g_lit) | ((mode == FLIT) & ~g_flit)
+    entering_l = ((mode == LIT) & (mode0 != LIT)) \
+        | ((mode == FLIT) & (mode0 != FLIT))
     ldone = jnp.where(entering_l, 0, ldone)
 
     st2 = dict(mode=mode, pos=pos, fpos=fpos, step=step, smn=smn,
@@ -501,7 +552,7 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int):
 
 def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
                   candw_ref, candb_ref, wa_ref, wb_ref, fl_ref, *,
-                  SW: int, NP: int, OR: int, accel: int,
+                  SW: int, NP: int, OR: int, accel: int, unroll: int = 2,
                   debug_rounds: bool = False, debug_modes: bool = False):
     g = 0
     n = n_ref[0]
@@ -521,7 +572,7 @@ def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
     fl_ref[...] = z
     candb_ref[...] = z - 4 * WPOS            # poisoned: first refill fires
     max_rounds = jnp.int32(2 * NP + 4096)
-    margin = 2 * CAP + 8
+    margin = unroll * CAP + 8            # max opos advance between flushes
 
     def cond(c):
         st, _stag = c
@@ -540,16 +591,24 @@ def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
         candb = candb_ref[...]
 
         # ---- batched round-start decisions ----
-        r_need = g_srch & ((st["fpos"] < candb)
-                           | (st["fpos"] - candb >= WPOS - 3 * K1))
+        # r_need covers VFY/EXT/EMIT lanes too: their fused emission ends
+        # the sequence mid-round and the same round's later sub-step
+        # searches from the new anchor — a window based only on SRCH
+        # lanes would stall that search every time (measured: the u=2
+        # alternation never engaged, 2 wrapper rounds per sequence)
+        g_pre = g_srch | g_ab | (mode == EMIT)
+        r_need = g_pre & ((st["fpos"] < candb)
+                          | (st["fpos"] - candb >= WPOS - 3 * K1))
         f_need = live & (st["opos"] + margin > fl * 4 + rspan)
         packed1 = jnp.sum(r_need.astype(jnp.int32)
                           + (g_a.astype(jnp.int32) << 8)
                           + (g_ab.astype(jnp.int32) << 16))
         packed2 = jnp.sum(f_need.astype(jnp.int32))
-        # cand window rebase (idle lanes clamp into the live span)
-        cb_lo = jnp.min(jnp.where(g_srch, st["fpos"], BIG))
-        cb_new = jnp.where(g_srch, st["fpos"], cb_lo)
+        # cand window rebase: every LIVE lane keeps its own schedule
+        # position (fpos tracks the next search start across sequences);
+        # finished lanes clamp into the live span
+        cb_lo = jnp.min(jnp.where(live, st["fpos"], BIG))
+        cb_new = jnp.where(live, st["fpos"], cb_lo)
         c_lo = jnp.min(cb_new) >> blog
         c_hi = jnp.max(cb_new) >> blog
         # wa / wb addresses (idle lanes clamp to the live minimum)
@@ -597,12 +656,9 @@ def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
             fl_ref[...] = fl + nfl
 
         fl2 = fl_ref[...]
-        st2, stag = _parse_round(st, stag, fl2, wa_ref[...], wb_ref[...],
-                                 candw_ref[...] & 0xFFFF,
-                                 candb_ref[...], n, accel)
         if debug_modes:
             rows16 = _iota_rows(16)
-            inc = (rows16 == _bcast(mode, 16)).astype(jnp.int32)
+            inc = jnp.zeros((16, LANES), jnp.int32)
             for ridx, fired in (
                     (11, (packed1 & 255) != 0),
                     (12, ((packed1 >> 8) & 255) != 0),
@@ -610,7 +666,18 @@ def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
                     (15, (packed2 & 255) != 0)):
                 inc = inc + jnp.where(rows16 == ridx,
                                       fired.astype(jnp.int32), 0)
-            st2["dbg"] = st["dbg"] + inc
+        dbg = st.get("dbg")
+        st2 = st
+        for u in range(unroll):
+            if debug_modes:
+                inc = inc + (rows16 == _bcast(st2["mode"], 16)) \
+                    .astype(jnp.int32)
+            st2, stag = _parse_round(st2, stag, fl2, wa_ref[...],
+                                     wb_ref[...], candw_ref[...] & 0xFFFF,
+                                     candb_ref[...], n, accel,
+                                     wok=(u == 0))
+        if debug_modes:
+            st2["dbg"] = dbg + inc
         return st2, stag
 
     st, stag = jax.lax.while_loop(cond, body, (st, _bcast(z, SRO)))
@@ -632,12 +699,13 @@ def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("block_size", "accel", "interpret",
-                                    "group_sort", "debug_rounds",
+                                    "group_sort", "unroll", "debug_rounds",
                                     "debug_modes", "cand_only"))
 def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
                                   accel: int = 1,
                                   interpret: bool = False,
                                   group_sort: bool = True,
+                                  unroll: int = 2,
                                   debug_rounds: bool = False,
                                   debug_modes: bool = False,
                                   cand_only: bool = False):
@@ -696,11 +764,12 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
     out_cap = -(-bound // (4 * BAND)) * (4 * BAND)
     orr = out_cap // 4
 
-    out, out_len, err = pl.pallas_call(
+    parse_call = pl.pallas_call(
         functools.partial(_parse_kernel, SW=sw, NP=np_, OR=orr,
-                          accel=accel, debug_rounds=debug_rounds,
+                          accel=accel, unroll=unroll,
+                          debug_rounds=debug_rounds,
                           debug_modes=debug_modes),
-        grid=(ng,),
+        grid=(1,),
         in_specs=[
             pl.BlockSpec((1, sw, LANES), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, np_, LANES), lambda g: (g, 0, 0)),
@@ -712,9 +781,9 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
             pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((ng, orr, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((ng, 1, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((ng, 1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, orr, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1, LANES), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((LCPR, LANES), jnp.int32),      # cand window
@@ -726,7 +795,14 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
-    )(tapes, cand, nlane)
+    )
+    # one invocation per group: a multi-group grid double-buffers the
+    # 32 MB cand input window and blows VMEM
+    parts = [parse_call(tapes[g:g + 1], cand[g:g + 1], nlane[g:g + 1])
+             for g in range(ng)]
+    out = jnp.concatenate([p[0] for p in parts], axis=0)
+    out_len = jnp.concatenate([p[1] for p in parts], axis=0)
+    err = jnp.concatenate([p[2] for p in parts], axis=0)
 
     data = jax.vmap(LK.unpack_tapes)(out)
     data = data.reshape(ng * LANES, out_cap)

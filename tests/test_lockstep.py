@@ -201,10 +201,11 @@ def test_varying_sizes_one_batch(fixtures):
 
 
 def test_tpu_wrapper_interpret(fixtures):
-    """The pallas_call wrapper (interpret mode) matches golden end-to-end,
-    including non-multiple-of-128 batches and the empty-pad path."""
-    from lz4_sgori_tpu.ops.pallas.lockstep_tpu import (
-        decompress_blocks_lockstep)
+    """The production (v6 ring) pallas_call wrapper in interpret mode
+    matches golden end-to-end, including non-multiple-of-128 batches and
+    the empty-pad path."""
+    from lz4_sgori_tpu.ops.pallas.lockstep_v6 import (
+        decompress_blocks_lockstep_v6)
     cases = [
         fixtures["text_small"][:4096], bytes(4096),
         fixtures["random_4k"], b"", fixtures["rle_period3"][:4096],
@@ -216,7 +217,7 @@ def test_tpu_wrapper_interpret(fixtures):
     for j, c in enumerate(comps):
         comp[j, :len(c)] = np.frombuffer(c, np.uint8)
         clen[j] = len(c)
-    out, out_len, err = decompress_blocks_lockstep(
+    out, out_len, err = decompress_blocks_lockstep_v6(
         comp, clen, 4096, interpret=True)
     out, out_len, err = np.asarray(out), np.asarray(out_len), np.asarray(err)
     for j, want in enumerate(cases):

@@ -104,6 +104,28 @@ def test_enc3_parity_multigroup():
     _run(blocks, bs)
 
 
+def test_golden_dense_size_contract():
+    """Dense parse output must decode and stay within the size envelope
+    of the reference encoder on a compressibility spectrum (both hashlog
+    contracts)."""
+    rng = np.random.RandomState(11)
+    for hl in (13, 16):
+        total_d = total_r = 0
+        for blk in [
+            bytes(4096),
+            (b"the quick brown fox jumps " * 200)[:4096],
+            bytes(rng.randint(0, 256, 4096, np.int64).astype(np.uint8)),
+            bytes(rng.randint(0, 4, 4096, np.int64).astype(np.uint8)),
+        ]:
+            d = golden.compress_dense(blk, hashlog=hl)
+            r = golden.compress(blk)
+            assert golden.decompress(d, len(blk)) == blk
+            total_d += len(d)
+            total_r += len(r)
+        assert total_d <= total_r * 1.01   # aggregate dominance (measured
+        # 0.990-0.996x on real corpora; 1% slack for this tiny fixture set)
+
+
 def test_enc3_acceleration():
     rng = np.random.RandomState(10)
     parts = []

@@ -1,14 +1,15 @@
-"""Opt-in on-device lane (VERDICT r1 item 8): parity + malformed-stream
-suites against the *compiled* Pallas kernels.
+"""Opt-in on-device lane: parity + malformed-stream suites against the
+*compiled* PRODUCTION engines — the v6 ring decoder and the enc3 sort
+encoder (plus one check of the escape-hatch kernels).
 
 Run during the bench session:
     LZ4J_TPU_TESTS=1 python -m pytest tests/test_tpu_compiled.py -m tpu -q
 
 Interpret-mode tests (the default CPU lane) cannot observe compiled-only
-failure modes: out-of-bounds SMEM indexing is masked by numpy clamping and
-Mosaic's scalar-loop lowering differs from the interpreter. These tests
-exercise the real compiled artifacts, including the decoder's err-flag
-paths on corrupt streams.
+failure modes: out-of-bounds indexing is masked by numpy clamping and
+Mosaic's lowering differs from the interpreter (the round-1 OOB bug was
+only visible compiled). Round-2 verdict item 4: this lane previously
+exercised only the superseded round-1 kernels.
 """
 
 import numpy as np
@@ -47,43 +48,66 @@ def _pack(blocks, width):
     return arr, lens
 
 
-def test_compiled_encode_parity(fixtures):
-    from lz4_sgori_tpu.ops.pallas.encode_kernel import compress_blocks_pallas
+def test_compiled_enc3_parity(fixtures):
+    from lz4_sgori_tpu.ops.pallas.lockstep_enc3 import (
+        compress_blocks_lockstep_enc3)
 
-    names = ["text_small", "zeros_4k", "rle_period3", "random_4k"]
+    names = ["text_small", "zeros_4k", "rle_period3", "random_4k",
+             "structured"]
     raws = [fixtures[n][:BS] for n in names]
     raw, rlen = _pack(raws, BS)
-    comp, clen = compress_blocks_pallas(raw, rlen, BS)
-    comp, clen = np.asarray(comp), np.asarray(clen)
+    comp, clen, err = compress_blocks_lockstep_enc3(raw, rlen, BS)
+    comp, clen, err = np.asarray(comp), np.asarray(clen), np.asarray(err)
     for j, data in enumerate(raws):
-        want = bytes(golden.compress(data))
+        assert not err[j], names[j]
+        want = golden.compress_dense(data, hashlog=16)
         got = comp[j, :clen[j]].tobytes()
         assert got == want, names[j]
 
 
-def test_compiled_decode_parity(fixtures):
-    from lz4_sgori_tpu.ops.pallas.decode_kernel import (
-        PALLAS_MAX_BLOCK, decompress_blocks_pallas)
+def test_compiled_enc3_64k_accel(fixtures):
+    from lz4_sgori_tpu.ops.pallas.lockstep_enc3 import (
+        compress_blocks_lockstep_enc3)
 
-    del PALLAS_MAX_BLOCK
-    names = ["text_small", "zeros_4k", "rle_short_period", "random_4k",
-             "structured"]
-    raws = [fixtures[n][:BS] for n in names]
+    data = fixtures["mixed"][:65536]
+    raw, rlen = _pack([data], 65536)
+    for accel in (1, 8):
+        comp, clen, err = compress_blocks_lockstep_enc3(
+            raw, rlen, 65536, accel=accel)
+        assert not np.asarray(err)[0]
+        want = golden.compress_dense(data, acceleration=accel, hashlog=16)
+        assert np.asarray(comp)[0, :int(clen[0])].tobytes() == want, accel
+
+
+def _v6(comp, clen, out_size):
+    from lz4_sgori_tpu.ops.pallas.lockstep_v6 import (
+        decompress_blocks_lockstep_v6)
+    out, olen, err = decompress_blocks_lockstep_v6(comp, clen, out_size)
+    return np.asarray(out), np.asarray(olen), np.asarray(err)
+
+
+@pytest.mark.parametrize("bs", [4096, 65536, 262144])
+def test_compiled_v6_parity(fixtures, bs):
+    """v6 ring decoder parity across the block-size envelope: 4 KiB
+    (small rings), 64 KiB (ring wrap + far path on real text), 256 KiB
+    (the long-literal LSIC regime that regressed in BENCH_r02)."""
+    base = (fixtures["mixed"] * ((bs // len(fixtures["mixed"])) + 1))[:bs]
+    raws = [base, bytes(bs), fixtures["rle_short_period"][:bs],
+            (fixtures["random_jpeg_scale"] * 2)[:bs]]
     comps = [bytes(golden.compress(d)) for d in raws]
-    slot = F.compress_bound(BS) + 8
+    slot = F.compress_bound(bs) + 8
     comp, clen = _pack(comps, slot)
-    out, olen, err = decompress_blocks_pallas(comp, clen, BS)
-    out, olen, err = np.asarray(out), np.asarray(olen), np.asarray(err)
+    out, olen, err = _v6(comp, clen, bs)
     for j, data in enumerate(raws):
-        assert not err[j], names[j]
-        assert olen[j] == len(data), names[j]
-        assert out[j, :olen[j]].tobytes() == data, names[j]
+        assert not err[j], j
+        assert olen[j] == len(data), j
+        assert out[j, :olen[j]].tobytes() == data, j
 
 
 def _mutate(comp: bytes, rng) -> bytes:
     """Random single-point corruption strategies used by the fuzz test."""
     b = bytearray(comp)
-    mode = rng.integers(0, 5)
+    mode = rng.integers(0, 6)
     if mode == 0 and len(b) > 2:          # flip a random byte
         i = int(rng.integers(0, len(b)))
         b[i] ^= int(rng.integers(1, 256))
@@ -94,28 +118,25 @@ def _mutate(comp: bytes, rng) -> bytes:
     elif mode == 3 and len(b) > 4:         # zero an offset
         b[3] = 0
         b[4] = 0
+    elif mode == 4 and len(b) > 4:         # huge offset (beyond output)
+        b[3] = 0xFF
+        b[4] = 0xFF
     else:                                  # garbage tail
         b = b + bytes(rng.integers(0, 256, size=16, dtype=np.uint8))
     return bytes(b)
 
 
-def test_compiled_decode_malformed_fuzz(fixtures):
-    """Compiled decoder on corrupt streams: must flag err or decode to
-    exactly what the golden safe decoder produces — never crash the
-    worker, never write out of bounds (the round-1 OOB fix is only
-    observable here, not in interpret mode)."""
-    from lz4_sgori_tpu.ops.pallas.decode_kernel import \
-        decompress_blocks_pallas
-
+def test_compiled_v6_malformed_fuzz(fixtures):
+    """Compiled v6 on corrupt streams: must flag err or decode to exactly
+    what the golden safe decoder produces — never crash the worker,
+    never write out of bounds (only observable compiled)."""
     rng = np.random.default_rng(0xFADE)
     base = bytes(golden.compress(fixtures["text_small"][:BS]))
-    muts = [_mutate(base, rng) for _ in range(24)]
+    muts = [_mutate(base, rng) for _ in range(48)]
     slot = F.compress_bound(BS) + 8
     muts = [m[:slot] for m in muts]
     comp, clen = _pack(muts, slot)
-    out, olen, err = decompress_blocks_pallas(comp, clen, BS)
-    out, olen, err = np.asarray(out), np.asarray(olen), np.asarray(err)
-    agree = 0
+    out, olen, err = _v6(comp, clen, BS)
     for j, m in enumerate(muts):
         try:
             want = golden.decompress(m, BS)
@@ -123,30 +144,47 @@ def test_compiled_decode_malformed_fuzz(fixtures):
         except ValueError:
             ok_ref = False
         if err[j]:
-            # kernel flagged: the golden decoder must also reject, OR the
-            # stream decodes but only with the relaxed terminal rule the
-            # kernel enforces strictly — accept flagging either way
             continue
         assert ok_ref, f"mutant {j}: kernel accepted, golden rejected"
         assert olen[j] == len(want)
         assert out[j, :olen[j]].tobytes() == want
-        agree += 1
-    # sanity: the fuzz exercised both accept and reject paths
     assert err.any()
 
 
-def test_compiled_roundtrip_64k(fixtures):
+def test_compiled_production_roundtrip_64k(fixtures):
+    """enc3 -> v6 cross-engine round trip on the compiled artifacts."""
+    from lz4_sgori_tpu.ops.pallas.lockstep_enc3 import (
+        compress_blocks_lockstep_enc3)
+
+    data = fixtures["mixed"][:65536]
+    raw, rlen = _pack([data], 65536)
+    comp, clen, err = compress_blocks_lockstep_enc3(raw, rlen, 65536)
+    assert not np.asarray(err)[0]
+    slot = F.compress_bound(65536) + 8
+    padded = np.zeros((1, slot), np.uint8)
+    padded[0, :comp.shape[1]] = np.asarray(comp)[0]
+    out, olen, err2 = _v6(padded, np.asarray(clen), 65536)
+    assert not err2[0]
+    assert out[0, :len(data)].tobytes() == data
+
+
+def test_compiled_escape_hatch_kernels(fixtures):
+    """The impl='scalar' encode and impl='pallas' decode escape hatches
+    stay compiled-correct (LZ4_compress_default byte parity)."""
     from lz4_sgori_tpu.ops.pallas.decode_kernel import \
         decompress_blocks_pallas
     from lz4_sgori_tpu.ops.pallas.encode_kernel import compress_blocks_pallas
 
-    data = fixtures["mixed"][:65536]
-    raw, rlen = _pack([data], 65536)
-    comp, clen = compress_blocks_pallas(raw, rlen, 65536)
-    slot = F.compress_bound(65536) + 8
-    padded = np.zeros((1, slot), np.uint8)
-    padded[0, :comp.shape[1]] = np.asarray(comp)[0]
-    out, olen, err = decompress_blocks_pallas(padded, np.asarray(clen),
-                                              65536)
-    assert not np.asarray(err)[0]
-    assert np.asarray(out)[0, :len(data)].tobytes() == data
+    names = ["text_small", "zeros_4k", "random_4k"]
+    raws = [fixtures[n][:BS] for n in names]
+    raw, rlen = _pack(raws, BS)
+    comp, clen = compress_blocks_pallas(raw, rlen, BS)
+    comp, clen = np.asarray(comp), np.asarray(clen)
+    slot = F.compress_bound(BS) + 8
+    padded = np.zeros((len(raws), slot), np.uint8)
+    padded[:, :comp.shape[1]] = comp
+    out, olen, err = decompress_blocks_pallas(padded, clen, BS)
+    out, olen, err = np.asarray(out), np.asarray(olen), np.asarray(err)
+    for j, data in enumerate(raws):
+        assert bytes(comp[j, :clen[j]]) == bytes(golden.compress(data))
+        assert not err[j] and out[j, :olen[j]].tobytes() == data
