@@ -261,6 +261,140 @@ def decompress(src: bytes | bytearray | memoryview, max_output: int) -> bytes:
     return bytes(out)
 
 
+def tail_offset(stream: bytes) -> int:
+    """Byte offset of an LZ4 block stream's terminal literal-only
+    sequence (the token after the last match). Walks the sequence
+    structure; raises DecodeError on malformed input."""
+    ip = 0
+    n = len(stream)
+    last = 0
+    while True:
+        last = ip
+        if ip >= n:
+            raise DecodeError("missing terminal sequence", ip)
+        token = stream[ip]
+        ip += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if ip >= n:
+                    raise DecodeError("truncated literal LSIC", ip)
+                b = stream[ip]
+                ip += 1
+                lit += b
+                if b != 255:
+                    break
+        ip += lit
+        if ip == n:
+            return last                  # terminal: input ends here
+        if ip + 2 > n:
+            raise DecodeError("truncated offset", ip)
+        ip += 2
+        if (token & 15) == 15:
+            while True:
+                if ip >= n:
+                    raise DecodeError("truncated match LSIC", ip)
+                b = stream[ip]
+                ip += 1
+                if b != 255:
+                    break
+
+
+def _lit_header(lit_len: int, ml_nibble: int) -> bytes:
+    """Token + literal-LSIC bytes for a sequence header."""
+    out = bytearray()
+    if lit_len >= F.RUN_MASK:
+        out.append((F.RUN_MASK << F.ML_BITS) | ml_nibble)
+        rem = lit_len - F.RUN_MASK
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+    else:
+        out.append((lit_len << F.ML_BITS) | ml_nibble)
+    return bytes(out)
+
+
+def splice_segments(streams: list, tails: list) -> bytes:
+    """Splice per-segment LZ4 block streams into ONE valid block stream.
+
+    Each streams[k] is a complete LZ4 block for one consecutive segment
+    of the input; tails[k] is the offset of its terminal literal-only
+    sequence (tail_offset / the encoder's tail output). The terminal run
+    of segment k cannot stand mid-block (every non-final sequence needs
+    a match, doc/BlockFormat.md), so it is carried forward and absorbed
+    into the first sequence of the next segment that has one: only that
+    sequence's token + literal-LSIC are re-encoded, every other byte is
+    copied verbatim. Matches never cross segments (each segment was
+    encoded standalone), so all offsets stay valid in the merged stream.
+    """
+    out = bytearray()
+    carry = bytearray()                  # pending literal run (bytes)
+    for k, s in enumerate(streams):
+        t = tails[k]
+        body = s[:t]
+        # parse the tail sequence's literal bytes
+        ip = t
+        token = s[ip]
+        ip += 1
+        lit = token >> 4
+        if lit == F.RUN_MASK:
+            while True:
+                b = s[ip]
+                ip += 1
+                lit += b
+                if b != 255:
+                    break
+        tail_lits = s[ip:ip + lit]
+        if body:
+            if carry:
+                # absorb the carry into body's first sequence header
+                bp = 0
+                tok0 = body[bp]
+                bp += 1
+                lit0 = tok0 >> 4
+                if lit0 == F.RUN_MASK:
+                    while True:
+                        b = body[bp]
+                        bp += 1
+                        lit0 += b
+                        if b != 255:
+                            break
+                out += _lit_header(len(carry) + lit0, tok0 & F.ML_MASK)
+                out += carry
+                out += body[bp:]
+                carry = bytearray()
+            else:
+                out += body
+            carry += tail_lits
+        else:
+            carry += tail_lits
+    out += _lit_header(len(carry), 0)
+    out += carry
+    return bytes(out)
+
+
+def compress_segmented(src: bytes | bytearray | memoryview,
+                       acceleration: int = 1, hashlog: int = 16,
+                       seg: int = 65536) -> bytes:
+    """Oracle of the TPU large-block encode path: compress 64 KiB
+    segments independently with the dense rule, then splice into one
+    block stream (ops/encode.py routes TPU blocks > 64 KiB here — the
+    pos16 sort keys and VMEM residency cap the kernel at 64 KiB, and
+    the reference's own window never exceeds 64 KiB either, lz4e.h:53-55,
+    so the only loss is candidates that would cross a segment boundary).
+    """
+    src = bytes(src)
+    streams = []
+    tails = []
+    for p in range(0, max(len(src), 1), seg):
+        s = compress_dense(src[p:p + seg], acceleration=acceleration,
+                           hashlog=hashlog)
+        streams.append(s)
+        tails.append(tail_offset(s))
+    return splice_segments(streams, tails)
+
+
 def dense_candidates(src: bytes, hashlog: int = 13,
                      val16_filter: bool = True):
     """Pass-1 oracle of the TPU lane-lockstep encoders: the

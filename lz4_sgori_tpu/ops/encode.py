@@ -199,13 +199,22 @@ def compress_blocks_device(raw, raw_len, block_size: int,
     if nbp != nb:
         raw = jnp.pad(raw, ((0, nbp - nb), (0, 0)))
         raw_len = jnp.pad(raw_len, (0, nbp - nb))
-    # pos16 sort keys bound the lockstep kernel's block size; larger
-    # blocks use the portable XLA program (also the only match_depth > 1
-    # engine). impl="scalar" forces the round-1 scalar-core kernel (the
-    # LZ4_compress_fast byte-parity engine, blocks <= 64 KiB).
+    # pos16 sort keys bound the lockstep kernel to 64 KiB; larger TPU
+    # blocks go through the segment-splice path (64 KiB segments through
+    # the kernel, host splice into one valid LZ4 block —
+    # golden.compress_segmented parity). The portable XLA program serves
+    # CPU backends and match_depth > 1. impl="scalar" forces the round-1
+    # scalar-core kernel (the LZ4_compress_fast byte-parity engine).
+    on_tpu = jax.default_backend() == "tpu"
+    if impl == "auto" and on_tpu and block_size > 65536 \
+            and (match_depth is None or match_depth <= 1):
+        comp, comp_len = _compress_blocks_segmented(
+            raw, raw_len, block_size, acceleration)
+        if nbp != nb:
+            comp, comp_len = comp[:nb], comp_len[:nb]
+        return comp, comp_len
     use_pallas = impl in ("pallas", "scalar") or (
-        impl == "auto" and jax.default_backend() == "tpu"
-        and block_size <= 65536)
+        impl == "auto" and on_tpu and block_size <= 65536)
     if use_pallas:
         if match_depth is not None and match_depth > 1 and impl == "auto":
             import warnings
@@ -234,6 +243,55 @@ def compress_blocks_device(raw, raw_len, block_size: int,
     if nbp != nb:
         comp, comp_len = comp[:nb], comp_len[:nb]
     return comp, comp_len
+
+
+def _compress_blocks_segmented(raw, raw_len, block_size: int,
+                               acceleration: int = 1):
+    """TPU encode for blocks > 64 KiB: 64 KiB segments through the enc3
+    kernel, then a host splice into ONE valid LZ4 block per input block
+    (byte-exact to golden.compress_segmented; matches never cross
+    segments, so the only loss vs a single-table encode is candidates
+    whose window would span a boundary — the reference's own window is
+    64 KiB anyway, lz4e.h:53-55). Covers the fio envelope's upper half
+    (test_128k…test_4m.fio) without touching the slow XLA engine."""
+    import numpy as np
+
+    from .. import golden
+    from .pallas.lockstep_enc3 import compress_blocks_lockstep_enc3
+
+    SEG = 65536
+    nb, slot = raw.shape
+    nseg = -(-block_size // SEG)
+    segslot = nseg * SEG
+    if slot < segslot:
+        raw = jnp.pad(raw, ((0, 0), (0, segslot - slot)))
+    segs = raw[:, :segslot].reshape(nb * nseg, SEG)
+    sidx = jnp.arange(nseg, dtype=jnp.int32)[None, :]
+    seg_len = jnp.clip(raw_len.astype(jnp.int32)[:, None] - sidx * SEG,
+                       0, SEG).reshape(-1)
+    comp_s, clen_s, err_s, tail_s = compress_blocks_lockstep_enc3(
+        segs, seg_len, SEG, accel=acceleration, return_tails=True)
+    comp_s = np.asarray(comp_s)
+    clen_s = np.asarray(clen_s)
+    err_s = np.asarray(err_s)
+    tail_s = np.asarray(tail_s)
+    rlen_np = np.asarray(raw_len)
+    bound = F.compress_bound(block_size)
+    out = np.zeros((nb, bound), np.uint8)
+    out_len = np.zeros(nb, np.int32)
+    for b in range(nb):
+        nsb = max(1, -(-int(rlen_np[b]) // SEG))
+        rows = range(b * nseg, b * nseg + nsb)
+        if any(err_s[r] for r in rows):
+            continue                     # comp_len 0 -> host fallback
+        streams = [comp_s[r, :clen_s[r]].tobytes() for r in rows]
+        blob = golden.splice_segments(streams, [int(tail_s[r])
+                                                for r in rows])
+        if len(blob) > bound:            # format-worst-case boundary
+            continue                     # jitter: host fallback
+        out[b, :len(blob)] = np.frombuffer(blob, np.uint8)
+        out_len[b] = len(blob)
+    return out, out_len
 
 
 def compress_blocks_pallas_dispatch(raw, raw_len, block_size: int,

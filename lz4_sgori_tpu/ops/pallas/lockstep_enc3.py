@@ -543,15 +543,19 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
     entering_l = ((mode == LIT) & (mode0 != LIT)) \
         | ((mode == FLIT) & (mode0 != FLIT))
     ldone = jnp.where(entering_l, 0, ldone)
+    # the terminal literal-only sequence starts where opos stood when the
+    # lane entered FHDR (its token is emitted in a later round) — the
+    # segment-splice path (golden.splice_segments) consumes this
+    tpos = jnp.where((mode == FHDR) & (mode0 != FHDR), opos, st["tpos"])
 
     st2 = dict(mode=mode, pos=pos, fpos=fpos, step=step, smn=smn,
                anchor=anchor, mpos=mpos, mc=mc, lit=lit, d=d, opos=opos,
-               hk=hk, ldone=ldone, rounds=st["rounds"] + 1)
+               hk=hk, ldone=ldone, tpos=tpos, rounds=st["rounds"] + 1)
     return st2, stag
 
 
 def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
-                  candw_ref, candb_ref, wa_ref, wb_ref, fl_ref, *,
+                  tl_ref, candw_ref, candb_ref, wa_ref, wb_ref, fl_ref, *,
                   SW: int, NP: int, OR: int, accel: int, unroll: int = 2,
                   debug_rounds: bool = False, debug_modes: bool = False):
     g = 0
@@ -566,7 +570,7 @@ def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
               pos=z + 1, fpos=z + 1, step=z + 1,
               smn=z + (accel << F.SKIPTRIGGER),
               anchor=z, mpos=z, mc=z, lit=z, d=z, opos=z,
-              hk=z, ldone=z, rounds=z)
+              hk=z, ldone=z, tpos=z, rounds=z)
     if debug_modes:
         st["dbg"] = _bcast(z, 16)
     fl_ref[...] = z
@@ -690,6 +694,7 @@ def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
     err = (st["mode"] != DONE).astype(jnp.int32)
     len_ref[0] = jnp.where(err != 0, 0, st["opos"])
     err_ref[0] = st["rounds"] if debug_rounds else err
+    tl_ref[0] = st["tpos"]
 
 
 # ---------------------------------------------------------------------------
@@ -697,10 +702,27 @@ def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
 # ---------------------------------------------------------------------------
 
 
+def _permute_blocks(x, order, chunk: int = 2048):
+    """Permute a lane-major (ng, R, 128) tape set by block index
+    (block b = group b//128, lane b%128), in row chunks: one fused
+    transpose+gather over the whole array exceeds XLA's 16 MB scoped
+    fusion limit (measured 16.4-48.4 MB)."""
+    ng, rows, _ = x.shape
+    parts = []
+    for r0 in range(0, rows, chunk):
+        w = min(chunk, rows - r0)
+        sl = x[:, r0:r0 + w, :]
+        parts.append(
+            sl.transpose(0, 2, 1).reshape(ng * LANES, w)[order]
+            .reshape(ng, LANES, w).transpose(0, 2, 1))
+    return jnp.concatenate(parts, axis=1)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block_size", "accel", "interpret",
                                     "group_sort", "unroll", "debug_rounds",
-                                    "debug_modes", "cand_only"))
+                                    "debug_modes", "cand_only",
+                                    "return_tails"))
 def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
                                   accel: int = 1,
                                   interpret: bool = False,
@@ -708,7 +730,8 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
                                   unroll: int = 2,
                                   debug_rounds: bool = False,
                                   debug_modes: bool = False,
-                                  cand_only: bool = False):
+                                  cand_only: bool = False,
+                                  return_tails: bool = False):
     """Compress a batch of independent LZ4 blocks (v3 sort engine).
 
     raw uint8 [B, block_size] zero-padded, raw_len int32 [B] ->
@@ -737,7 +760,9 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
         raw_len = jnp.pad(raw_len, (0, pad))
     g8 = raw.reshape(ng, LANES, slot)
     gl = raw_len.reshape(ng, LANES)
-    tapes = jax.vmap(LK.pack_tapes)(g8, gl)            # (ng, SW0, 128)
+    # pack per group: a vmapped pack fuses all groups into one XLA fusion
+    # whose scoped VMEM exceeds the 16 MB fusion limit at ng > 1
+    tapes = jnp.stack([LK.pack_tapes(g8[g], gl[g]) for g in range(ng)])
     sw = max(tapes.shape[1] + 8, np_ // 4 + 8)
     sw = -(-sw // BAND) * BAND                         # banded-scan slabs
     tapes = jnp.pad(tapes, ((0, 0), (0, sw - tapes.shape[1]), (0, 0)))
@@ -753,10 +778,8 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
         dens_b = dens.transpose(0, 2, 1).reshape(ng * LANES)
         order = jnp.argsort(-dens_b)
         inv = jnp.argsort(order)
-        tapes = tapes.transpose(0, 2, 1).reshape(ng * LANES, sw)[order] \
-            .reshape(ng, LANES, sw).transpose(0, 2, 1)
-        cand = cand.transpose(0, 2, 1).reshape(ng * LANES, np_)[order] \
-            .reshape(ng, LANES, np_).transpose(0, 2, 1)
+        tapes = _permute_blocks(tapes, order)
+        cand = _permute_blocks(cand, order)
         gl_s = gl.reshape(-1)[order].reshape(ng, LANES)
         nlane = gl_s.reshape(ng, 1, LANES)
 
@@ -779,9 +802,11 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
             pl.BlockSpec((1, orr, LANES), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, orr, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1, LANES), jnp.int32),
             jax.ShapeDtypeStruct((1, 1, LANES), jnp.int32),
             jax.ShapeDtypeStruct((1, 1, LANES), jnp.int32),
         ],
@@ -803,15 +828,21 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
     out = jnp.concatenate([p[0] for p in parts], axis=0)
     out_len = jnp.concatenate([p[1] for p in parts], axis=0)
     err = jnp.concatenate([p[2] for p in parts], axis=0)
+    tails = jnp.concatenate([p[3] for p in parts], axis=0)
 
-    data = jax.vmap(LK.unpack_tapes)(out)
-    data = data.reshape(ng * LANES, out_cap)
+    data = jnp.concatenate(
+        [LK.unpack_tapes(out[g]) for g in range(ng)], axis=0)
     out_len = out_len.reshape(-1)
     err = err.reshape(-1)
+    tails = tails.reshape(-1)
     if group_sort and ng > 1:
-        data = data[inv]
+        data = jax.lax.optimization_barrier(data)[inv]
         out_len = out_len[inv]
         err = err[inv]
+        tails = tails[inv]
     if debug_rounds or debug_modes:
         return data[:nb, :bound], out_len[:nb], err[:nb]
+    if return_tails:
+        return (data[:nb, :bound], out_len[:nb], err[:nb].astype(bool),
+                tails[:nb])
     return data[:nb, :bound], out_len[:nb], err[:nb].astype(bool)

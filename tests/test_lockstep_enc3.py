@@ -138,3 +138,55 @@ def test_enc3_acceleration():
     a1 = golden.compress_dense(data, hashlog=16)
     a8 = golden.compress_dense(data, acceleration=8, hashlog=16)
     assert a1 != a8 and len(a8) >= len(a1)
+
+
+def test_golden_segmented_roundtrip():
+    """compress_segmented: valid single-block streams, any-decoder
+    decodable, across boundary shapes (multi-seg, ragged, all-literal
+    carries, zeros)."""
+    from __graft_entry__ import _synth_corpus
+    rng = np.random.RandomState(13)
+    cases = [
+        _synth_corpus(3 * 65536 + 777),
+        bytes(2 * 65536 + 5),
+        bytes(rng.randint(0, 256, 2 * 65536 + 100).astype(np.uint8)),
+        _synth_corpus(65536),
+        b"",
+        b"xy",
+    ]
+    for i, data in enumerate(cases):
+        s = golden.compress_segmented(data, seg=65536)
+        assert golden.decompress(s, len(data)) == data, i
+    # small segments stress the splice (many boundaries, carry chains)
+    for i, data in enumerate(cases[:4]):
+        s = golden.compress_segmented(data, seg=4096)
+        assert golden.decompress(s, len(data)) == data, (i, 4096)
+
+
+def test_enc3_tails_match_oracle_and_splice():
+    """The kernel's tail output equals golden.tail_offset, and splicing
+    kernel segment streams reproduces golden.compress_segmented."""
+    from __graft_entry__ import _synth_corpus
+    from lz4_sgori_tpu.ops.pallas.lockstep_enc3 import (
+        compress_blocks_lockstep_enc3)
+    seg = 2048
+    data = _synth_corpus(3 * seg + 501, seed=21)
+    nseg = -(-len(data) // seg)
+    raw = np.zeros((nseg, seg), np.uint8)
+    rlen = np.zeros(nseg, np.int32)
+    for s in range(nseg):
+        part = data[s * seg:(s + 1) * seg]
+        raw[s, :len(part)] = np.frombuffer(part, np.uint8)
+        rlen[s] = len(part)
+    comp, clen, err, tails = compress_blocks_lockstep_enc3(
+        raw, rlen, seg, interpret=True, return_tails=True)
+    comp, clen = np.asarray(comp), np.asarray(clen)
+    err, tails = np.asarray(err), np.asarray(tails)
+    assert not err.any()
+    streams = [comp[s, :clen[s]].tobytes() for s in range(nseg)]
+    for s, st in enumerate(streams):
+        assert int(tails[s]) == golden.tail_offset(st), s
+    spliced = golden.splice_segments(streams, [int(t) for t in tails])
+    want = golden.compress_segmented(data, seg=seg)
+    assert spliced == want
+    assert golden.decompress(spliced, len(data)) == data
