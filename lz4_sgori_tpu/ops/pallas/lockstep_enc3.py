@@ -309,7 +309,10 @@ def _cand_call(tapes, nlane, NP: int, interpret: bool):
     )
     outs = [call(tapes[g:g + 1], nlane[g:g + 1])
             for g in range(tapes.shape[0])]
-    return (jnp.concatenate([o[0] for o in outs], axis=0),
+    # barrier: XLA otherwise fuses the concat into the downstream permute
+    # gather, materializing the whole cand set in one 64 MB-scoped fusion
+    return (jax.lax.optimization_barrier(
+                jnp.concatenate([o[0] for o in outs], axis=0)),
             jnp.concatenate([o[1] for o in outs], axis=0))
 
 
@@ -825,7 +828,8 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
     # 32 MB cand input window and blows VMEM
     parts = [parse_call(tapes[g:g + 1], cand[g:g + 1], nlane[g:g + 1])
              for g in range(ng)]
-    out = jnp.concatenate([p[0] for p in parts], axis=0)
+    out = jax.lax.optimization_barrier(
+        jnp.concatenate([p[0] for p in parts], axis=0))
     out_len = jnp.concatenate([p[1] for p in parts], axis=0)
     err = jnp.concatenate([p[2] for p in parts], axis=0)
     tails = jnp.concatenate([p[3] for p in parts], axis=0)

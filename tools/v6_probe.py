@@ -38,7 +38,12 @@ def main():
     from lz4_sgori_tpu.ops.pallas.lockstep_v6 import (
         decompress_blocks_lockstep_v6)
 
-    data = _synth_corpus(nb * bs)
+    if os.environ.get("V6_SAME") == "1":
+        # all lanes decode the SAME block: cross-lane walk spans collapse,
+        # isolating the zero-divergence round cost
+        data = _synth_corpus(bs) * nb
+    else:
+        data = _synth_corpus(nb * bs)
     raw_np, rlen_np = split_blocks(data, bs)
     comps = [native.compress(raw_np[j, :rlen_np[j]].tobytes())
              for j in range(nb)]
