@@ -67,8 +67,8 @@ BIG = 0x40000000
 
 HASHLOG = 16                 # compress_dense(hashlog=16) contract
 K1 = 16                      # pass-2 probes per search round
-LCPR = 128                   # cand window rows (1 position per row)
-WPOS = LCPR
+LCP = 128                    # cand window rows (2 packed positions/row)
+WPOS = 2 * LCP               # 256 positions per window: halves refills
 SRO = 512                    # output staging ring rows (2 KiB)
 CHUNK = 4096                 # bitonic sort chunk rows (bounds VMEM temps)
 _HASH4_MUL = F.HASH4_PRIME - (1 << 32)   # int32-wrapped Knuth prime
@@ -284,36 +284,52 @@ def _cand_kernel(src_ref, n_ref, cand_ref, dens_ref, *, NP: int):
         0, nch, unbias, jnp.zeros((1, LANES), jnp.int32))
 
 
+def _grid_fits(*buffers) -> bool:
+    """True when the double-buffered per-group windows of a multi-group
+    grid fit VMEM comfortably (each buffer = rows of (.,128) int32)."""
+    return 2 * sum(buffers) * LANES * 4 < 60 * 1024 * 1024
+
+
 def _cand_call(tapes, nlane, NP: int, interpret: bool):
-    """One kernel invocation per 128-lane group: with a multi-group grid
-    the pipeline double-buffers the 32 MB cand output and blows VMEM."""
+    """Small blocks run one multi-group grid; large blocks invoke per
+    group (a multi-group grid double-buffers the 32 MB cand output and
+    blows VMEM, while per-group output concats of SMALL pieces trigger
+    oversized XLA concat fusions — each regime gets the shape it can
+    compile)."""
     sw = tapes.shape[1]
-    call = pl.pallas_call(
-        functools.partial(_cand_kernel, NP=NP),
-        grid=(1,),
-        in_specs=[
-            pl.BlockSpec((1, sw, LANES), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, NP, LANES), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, NP, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1, LANES), jnp.int32),
-        ],
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
-    )
-    outs = [call(tapes[g:g + 1], nlane[g:g + 1])
-            for g in range(tapes.shape[0])]
+    ng = tapes.shape[0]
+    grid_ng = ng if _grid_fits(sw, NP) else 1
+
+    def mk(gn):
+        return pl.pallas_call(
+            functools.partial(_cand_kernel, NP=NP),
+            grid=(gn,),
+            in_specs=[
+                pl.BlockSpec((1, sw, LANES), lambda g: (g, 0, 0)),
+                pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, NP, LANES), lambda g: (g, 0, 0)),
+                pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((gn, NP, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((gn, 1, LANES), jnp.int32),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024),
+        )
+
+    if grid_ng == ng:
+        return mk(ng)(tapes, nlane)
+    call = mk(1)
+    outs = [call(tapes[g:g + 1], nlane[g:g + 1]) for g in range(ng)]
     # barrier: XLA otherwise fuses the concat into the downstream permute
     # gather, materializing the whole cand set in one 64 MB-scoped fusion
-    return (jax.lax.optimization_barrier(
-                jnp.concatenate([o[0] for o in outs], axis=0)),
-            jnp.concatenate([o[1] for o in outs], axis=0))
+    return jax.lax.optimization_barrier(
+        (jnp.concatenate([o[0] for o in outs], axis=0),
+         jnp.concatenate([o[1] for o in outs], axis=0)))
 
 
 # ---------------------------------------------------------------------------
@@ -331,8 +347,9 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
            EMIT, src[anchor+ldone ..] for LIT/FLIT;
       wb   (CAPW,128): the matched side (VFY/PREP: mpos-16, EXT:
            mpos+4+mc);
-      candw (LCPR,128): cand rows [candb ..) — row i = d16 of position
-           candb + i in the low 16 bits.
+      candw (LCP,128): packed cand rows [candb>>1 ..) — d16 for
+           positions [candb, candb + 2*LCP), two per row; candb (1,128)
+           even.
 
     wok (static): whether wa/wb match this round's lane addresses. The
     unrolled sub-round after the loads runs with wok=False: modes that
@@ -360,8 +377,9 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
     # in-window and short of the mflimit exhaustion rule
     # (lz4e_compress.c:298-307: check with the incoming step, advance by
     # it, then draw the next step from smn).
-    iot = _iota_rows(LCPR)
-    mem = jnp.zeros((LCPR, LANES), jnp.int32)
+    iot = _iota_rows(LCP)
+    mem_lo = jnp.zeros((LCP, LANES), jnp.int32)
+    mem_hi = jnp.zeros((LCP, LANES), jnp.int32)
     fp_a, st_a, sm_a = fpos, step, smn
     go = g_srch
     first_ex = jnp.full((1, LANES), BIG, jnp.int32)
@@ -373,16 +391,23 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
         # off < 0: the window was rebased by other lanes' minimum while
         # this lane was mid-sequence — stall until the refill re-bases it
         probe = go & ~ex_i & (off >= 0) & (off < WPOS)
-        mem = mem | jnp.where((_bcast(off, LCPR) == iot)
-                              & _bcast(probe, LCPR), 1, 0)
+        row = _bcast(off >> 1, LCP) == iot
+        mem_lo = mem_lo | jnp.where(row & _bcast(probe & ((off & 1) == 0),
+                                                 LCP), 1, 0)
+        mem_hi = mem_hi | jnp.where(row & _bcast(probe & ((off & 1) == 1),
+                                                 LCP), 1, 0)
         fp_a = jnp.where(probe, fp_a + st_a, fp_a)
         st_a = jnp.where(probe, LK.shift_right_u(sm_a, F.SKIPTRIGGER),
                          st_a)
         sm_a = jnp.where(probe, sm_a + 1, sm_a)
         go = probe
-    d16w = candw & 0xFFFF
-    first_hit = jnp.min(jnp.where((mem != 0) & (d16w != 0), iot, BIG),
-                        axis=0, keepdims=True)
+    d_lo = candw & 0xFFFF
+    d_hi = LK.shift_right_u(candw, 16)
+    hit_lo = jnp.min(jnp.where((mem_lo != 0) & (d_lo != 0), iot * 2, BIG),
+                     axis=0, keepdims=True)
+    hit_hi = jnp.min(jnp.where((mem_hi != 0) & (d_hi != 0),
+                               iot * 2 + 1, BIG), axis=0, keepdims=True)
+    first_hit = jnp.minimum(hit_lo, hit_hi)
     # probes stop at the window edge, so every marked (probed) offset
     # precedes any detected exhaustion point: a hit always wins, and an
     # exhaustion with no hit is valid even when its own offset lies past
@@ -390,8 +415,10 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
     srch_hit = g_srch & (first_hit != BIG)
     srch_done = g_srch & ~srch_hit & (first_ex != BIG)
     # extract the winning d16
-    selrow = _bcast(first_hit, LCPR) == iot
-    hit_d = jnp.sum(jnp.where(selrow, d16w, 0), axis=0, keepdims=True)
+    selrow = _bcast(first_hit >> 1, LCP) == iot
+    selw = jnp.sum(jnp.where(selrow, candw, 0), axis=0, keepdims=True)
+    hit_d = jnp.where((first_hit & 1) == 0, selw & 0xFFFF,
+                      LK.shift_right_u(selw, 16))
     hit_pos = candb + first_hit
     # loop B: replay the schedule through probes at offsets <= stop
     stop = jnp.where(srch_hit, first_hit, jnp.int32(2 * WPOS))
@@ -559,12 +586,14 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
 
 def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
                   tl_ref, candw_ref, candb_ref, wa_ref, wb_ref, fl_ref, *,
-                  SW: int, NP: int, OR: int, accel: int, unroll: int = 2,
+                  SW: int, CPR: int, OR: int, accel: int, unroll: int = 2,
+                  wb_band: int = 64,
                   debug_rounds: bool = False, debug_modes: bool = False):
     g = 0
     n = n_ref[0]
     z = n * 0
     blog = BAND.bit_length() - 1
+    wblog = wb_band.bit_length() - 1
     fhlog = FH.bit_length() - 1
     rspan = SRO * 4
 
@@ -578,7 +607,7 @@ def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
         st["dbg"] = _bcast(z, 16)
     fl_ref[...] = z
     candb_ref[...] = z - 4 * WPOS            # poisoned: first refill fires
-    max_rounds = jnp.int32(2 * NP + 4096)
+    max_rounds = jnp.int32(4 * CPR + 4096)
     margin = unroll * CAP + 8            # max opos advance between flushes
 
     def cond(c):
@@ -614,10 +643,11 @@ def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
         # cand window rebase: every LIVE lane keeps its own schedule
         # position (fpos tracks the next search start across sequences);
         # finished lanes clamp into the live span
-        cb_lo = jnp.min(jnp.where(live, st["fpos"], BIG))
-        cb_new = jnp.where(live, st["fpos"], cb_lo)
-        c_lo = jnp.min(cb_new) >> blog
-        c_hi = jnp.max(cb_new) >> blog
+        cb_lo = jnp.min(jnp.where(live, st["fpos"], BIG)) & ~1
+        cb_new = jnp.where(live, st["fpos"], cb_lo) & ~1
+        crb = cb_new >> 1                        # packed cand row base
+        c_lo = jnp.min(crb) >> blog
+        c_hi = jnp.max(crb) >> blog
         # wa / wb addresses (idle lanes clamp to the live minimum)
         wa_addr = jnp.where(mode == EXT, st["pos"] + F.MINMATCH + st["mc"],
                    jnp.where(mode == EMIT, st["anchor"] - 4,
@@ -631,8 +661,8 @@ def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
                             st["mpos"] - 16)
         wb_lo = jnp.min(jnp.where(g_ab, wb_addr, BIG))
         wb_c = jnp.where(g_ab, wb_addr, wb_lo)
-        b_lo = jnp.min(wb_c) >> (2 + blog)
-        b_hi = jnp.max(wb_c) >> (2 + blog)
+        b_lo = jnp.min(wb_c) >> (2 + wblog)
+        b_hi = jnp.max(wb_c) >> (2 + wblog)
         # flush rows
         opr = st["opos"] >> 2
         nfl = jnp.maximum(((opr - fl) >> fhlog) << fhlog, 0)
@@ -643,7 +673,7 @@ def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
         @pl.when((packed1 & 255) != 0)
         def _refill_cand():
             candw_ref[...] = extract_rows_banded(
-                cand_ref, g, cb_new, LCPR, NP, bounds=(c_lo, c_hi))
+                cand_ref, g, crb, LCP, CPR, bounds=(c_lo, c_hi))
             candb_ref[...] = cb_new
 
         @pl.when(((packed1 >> 8) & 255) != 0)
@@ -653,8 +683,11 @@ def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
 
         @pl.when(((packed1 >> 16) & 255) != 0)
         def _load_wb():
+            # the match-side window has the widest spans (offsets are
+            # heavy-tailed to 64 KiB); its slab width is tunable
             wb_ref[...] = extract_bytes_banded(
-                src_ref, g, wb_c, CAPW, SW, bounds=(b_lo, b_hi))
+                src_ref, g, wb_c, CAPW, SW, bounds=(b_lo, b_hi),
+                band=wb_band)
 
         @pl.when((packed2 & 255) != 0)
         def _do_flush():
@@ -664,15 +697,18 @@ def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
 
         fl2 = fl_ref[...]
         if debug_modes:
+            # rows 11-14: slab VISITS per walk class (span diagnostics),
+            # row 15: flush fires
             rows16 = _iota_rows(16)
             inc = jnp.zeros((16, LANES), jnp.int32)
-            for ridx, fired in (
-                    (11, (packed1 & 255) != 0),
-                    (12, ((packed1 >> 8) & 255) != 0),
-                    (13, ((packed1 >> 16) & 255) != 0),
-                    (15, (packed2 & 255) != 0)):
-                inc = inc + jnp.where(rows16 == ridx,
-                                      fired.astype(jnp.int32), 0)
+            for ridx, fired, visits in (
+                    (11, (packed1 & 255) != 0, c_hi - c_lo + 3),
+                    (12, ((packed1 >> 8) & 255) != 0, a_hi - a_lo + 2),
+                    (13, ((packed1 >> 16) & 255) != 0, b_hi - b_lo + 2),
+                    (15, (packed2 & 255) != 0, jnp.int32(1))):
+                inc = inc + jnp.where(
+                    rows16 == ridx,
+                    jnp.where(fired, visits, 0).astype(jnp.int32), 0)
         dbg = st.get("dbg")
         st2 = st
         for u in range(unroll):
@@ -680,7 +716,7 @@ def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
                 inc = inc + (rows16 == _bcast(st2["mode"], 16)) \
                     .astype(jnp.int32)
             st2, stag = _parse_round(st2, stag, fl2, wa_ref[...],
-                                     wb_ref[...], candw_ref[...] & 0xFFFF,
+                                     wb_ref[...], candw_ref[...],
                                      candb_ref[...], n, accel,
                                      wok=(u == 0))
         if debug_modes:
@@ -705,6 +741,19 @@ def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
 # ---------------------------------------------------------------------------
 
 
+def _pack_cand(c, chunk: int = 4096):
+    """(ng, NP, 128) one-d16-per-row cand tape -> (ng, NP/2, 128) with
+    two positions packed per row (positions 2j | 2j+1 << 16). Chunked +
+    barriered for the same scoped-fusion reason as _permute_blocks."""
+    ng, rows, _ = c.shape
+    parts = []
+    for r0 in range(0, rows, chunk):
+        sl = c[:, r0:r0 + chunk, :]
+        parts.append((sl[:, 0::2, :] & 0xFFFF)
+                     | LK.shift_left_u(sl[:, 1::2, :] & 0xFFFF, 16))
+    return jax.lax.optimization_barrier(jnp.concatenate(parts, axis=1))
+
+
 def _permute_blocks(x, order, chunk: int = 2048):
     """Permute a lane-major (ng, R, 128) tape set by block index
     (block b = group b//128, lane b%128), in row chunks: one fused
@@ -725,7 +774,7 @@ def _permute_blocks(x, order, chunk: int = 2048):
                    static_argnames=("block_size", "accel", "interpret",
                                     "group_sort", "unroll", "debug_rounds",
                                     "debug_modes", "cand_only",
-                                    "return_tails"))
+                                    "return_tails", "wb_band"))
 def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
                                   accel: int = 1,
                                   interpret: bool = False,
@@ -734,7 +783,8 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
                                   debug_rounds: bool = False,
                                   debug_modes: bool = False,
                                   cand_only: bool = False,
-                                  return_tails: bool = False):
+                                  return_tails: bool = False,
+                                  wb_band: int = 64):
     """Compress a batch of independent LZ4 blocks (v3 sort engine).
 
     raw uint8 [B, block_size] zero-padded, raw_len int32 [B] ->
@@ -775,6 +825,11 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
     cand, dens = _cand_call(tapes, nlane, np_, interpret)
     if cand_only:
         return cand, dens
+    # pack two positions per row: the cand refill walk is the largest
+    # VMEM scan of the parse (measured 223 slab visits per round at one
+    # row per position) — halving its rows halves those bytes
+    cand = _pack_cand(cand)
+    cpr = np_ // 2
 
     # ---- regroup by density (slowest blocks share groups) ----
     if group_sort and ng > 1:
@@ -790,15 +845,16 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
     out_cap = -(-bound // (4 * BAND)) * (4 * BAND)
     orr = out_cap // 4
 
+    grid_ng = ng if _grid_fits(sw, cpr, orr) else 1
     parse_call = pl.pallas_call(
-        functools.partial(_parse_kernel, SW=sw, NP=np_, OR=orr,
-                          accel=accel, unroll=unroll,
+        functools.partial(_parse_kernel, SW=sw, CPR=cpr, OR=orr,
+                          accel=accel, unroll=unroll, wb_band=wb_band,
                           debug_rounds=debug_rounds,
                           debug_modes=debug_modes),
-        grid=(1,),
+        grid=(grid_ng,),
         in_specs=[
             pl.BlockSpec((1, sw, LANES), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, np_, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, cpr, LANES), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
         ],
         out_specs=[
@@ -808,13 +864,13 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
             pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, orr, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((grid_ng, orr, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((grid_ng, 1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((grid_ng, 1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((grid_ng, 1, LANES), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((LCPR, LANES), jnp.int32),      # cand window
+            pltpu.VMEM((LCP, LANES), jnp.int32),       # cand window
             pltpu.VMEM((1, LANES), jnp.int32),         # cand window base
             pltpu.VMEM((CAPW, LANES), jnp.int32),      # wa operand
             pltpu.VMEM((CAPW, LANES), jnp.int32),      # wb operand
@@ -824,15 +880,18 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
     )
-    # one invocation per group: a multi-group grid double-buffers the
-    # 32 MB cand input window and blows VMEM
-    parts = [parse_call(tapes[g:g + 1], cand[g:g + 1], nlane[g:g + 1])
-             for g in range(ng)]
-    out = jax.lax.optimization_barrier(
-        jnp.concatenate([p[0] for p in parts], axis=0))
-    out_len = jnp.concatenate([p[1] for p in parts], axis=0)
-    err = jnp.concatenate([p[2] for p in parts], axis=0)
-    tails = jnp.concatenate([p[3] for p in parts], axis=0)
+    if grid_ng == ng:
+        out, out_len, err, tails = parse_call(tapes, cand, nlane)
+    else:
+        # one invocation per group: a multi-group grid double-buffers the
+        # 32 MB cand input window and blows VMEM
+        parts = [parse_call(tapes[g:g + 1], cand[g:g + 1], nlane[g:g + 1])
+                 for g in range(ng)]
+        out = jax.lax.optimization_barrier(
+            jnp.concatenate([p[0] for p in parts], axis=0))
+        out_len = jnp.concatenate([p[1] for p in parts], axis=0)
+        err = jnp.concatenate([p[2] for p in parts], axis=0)
+        tails = jnp.concatenate([p[3] for p in parts], axis=0)
 
     data = jnp.concatenate(
         [LK.unpack_tapes(out[g]) for g in range(ng)], axis=0)

@@ -106,8 +106,8 @@ def main():
         return
     if dbg_modes:
         names = ["SRCH", "VFY", "PREP", "EXT", "EMIT", "HDR", "LIT",
-                 "TAIL", "FHDR", "FLIT", "DONE", "w:refill", "w:wa",
-                 "w:wb", "w:unused", "w:flush"]
+                 "TAIL", "FHDR", "FLIT", "DONE", "v:refill", "v:wa",
+                 "v:wb", "w:unused", "w:flush"]
         cnt = np.asarray(comp)[:, :64].copy().view(np.uint32)  # (nb, 16)
         tot_rounds = cnt[:, :11].sum(axis=1)
         print(f"[e3] rounds/lane: max={tot_rounds.max()} "
