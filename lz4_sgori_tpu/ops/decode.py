@@ -138,7 +138,15 @@ def decompress_blocks_device(comp, comp_len, out_size: int,
         # a zero byte is a valid empty terminal block
         comp_len = jnp.pad(comp_len, (0, nbp - nb), constant_values=1)
     on_tpu = jax.default_backend() == "tpu"
-    if impl == "lockstep" or (impl == "auto" and on_tpu):
+    # The lockstep engine holds every lane's full output in VMEM
+    # (out_size x 128 x ~1 B/row-byte): 256 KiB blocks are ~32 MB and
+    # fine; 1-4 MiB blocks would need 128-512 MB. Until the committed
+    # tape streams to HBM behind the 64 KiB match window, larger blocks
+    # take the portable engine (correct, slow — the fio envelope's top
+    # sizes are correctness-swept, not the bandwidth path).
+    V6_MAX_BLOCK = 262144
+    if impl == "lockstep" or (impl == "auto" and on_tpu
+                              and out_size <= V6_MAX_BLOCK):
         from .pallas.lockstep_v6 import decompress_blocks_lockstep_v6
         # a 2 KiB ring covers most match offsets; small blocks shrink it
         # in the wrapper (ring <= ~block size)
