@@ -437,6 +437,169 @@ def dense_candidates(src: bytes, hashlog: int = 13,
     return cand_d
 
 
+def dense_gaps(src: bytes, hashlog: int = 16, max_gap: int = 254):
+    """Pass-1 deep-mode oracle: chain gaps to the 2nd and 3rd most
+    recent same-hash positions, packed as g2 | g3 << 8.
+
+    For position p with bucket chain ...q3 < q2 < q1 < p (q1 is the
+    dense candidate, d1 = (p-q1) & 0xFFFF): g2 = (p-q2) - (p-q1) and
+    g3 = (p-q3) - (p-q2), each stored only while every gap so far is in
+    [1, max_gap] (the 8-bit packing; a break truncates the chain). The
+    TPU kernel reads q2/q3 as rolled rows 2 and 3 after the bucket sort.
+    """
+    n = len(src)
+    out = [0] * n
+    if n < 4:
+        return out
+    rd32 = [int.from_bytes(src[i:i + 4], "little") for i in range(n - 3)]
+    chains: dict = {}
+    for p in range(n - 3):
+        h = F.hash4(rd32[p], hashlog)
+        ch = chains.setdefault(h, [])
+        if len(ch) >= 2:
+            q1, q2 = ch[-1], ch[-2]
+            d1 = (p - q1) & 0xFFFF
+            g2 = (p - q2) - (p - q1)
+            if d1 and 1 <= g2 <= max_gap:
+                v = g2
+                if len(ch) >= 3:
+                    g3 = (q2 - ch[-3])
+                    if 1 <= g3 <= max_gap:
+                        v |= g3 << 8
+                out[p] = v
+        ch.append(p)
+    return out
+
+
+def compress_deep(src: bytes | bytearray | memoryview,
+                  acceleration: int = 1, hashlog: int = 16) -> bytes:
+    """Deep-match greedy compress — the byte-exact oracle of the TPU
+    enc3 depth-3 mode (the HC-analog; BASELINE.json config 5).
+
+    Same skip-schedule parse as compress_dense, but each probe evaluates
+    up to THREE candidates (the dense candidate plus the 2nd/3rd chain
+    entries from dense_gaps) and takes the one with the longest forward
+    match (nearest wins ties); catch-up runs on the winner. Measured
+    0.955x LZ4_compress_default aggregate on the config-5 corpus (the
+    XLA engine's exhaustive depth-3 + lazy parse reaches 0.9165x and
+    stays available via impl='xla')."""
+    src = bytes(src)
+    n = len(src)
+    if n > F.MAX_INPUT_SIZE:
+        raise ValueError(f"input too large: {n} > {F.MAX_INPUT_SIZE}")
+    if acceleration < 1:
+        acceleration = F.ACCELERATION_DEFAULT
+    dst = bytearray()
+
+    def rd32(i: int) -> int:
+        return int.from_bytes(src[i:i + 4], "little")
+
+    anchor = 0
+    if n >= F.MIN_LENGTH:
+        cand_d = dense_candidates(src, hashlog, val16_filter=False)
+        gaps = dense_gaps(src, hashlog)
+        mflimit = n - F.MFLIMIT
+        matchlimit = n - F.LASTLITERALS
+        pos = 1
+        while True:
+            fpos = pos
+            step = 1
+            search_match_nb = acceleration << F.SKIPTRIGGER
+            found = False
+            while True:
+                if fpos + step > mflimit + 1:
+                    break
+                pos = fpos
+                fpos += step
+                step = search_match_nb >> F.SKIPTRIGGER
+                search_match_nb += 1
+                d1 = cand_d[pos]
+                if not d1:
+                    continue
+                g = gaps[pos]
+                best_mc = -1
+                mpos = -1
+                ds = [d1]
+                if g & 255:
+                    ds.append(d1 + (g & 255))
+                    if g >> 8:
+                        ds.append(d1 + (g & 255) + (g >> 8))
+                for d in ds:
+                    m = pos - d
+                    if m < 0 or rd32(m) != rd32(pos):
+                        continue
+                    p_, m_ = pos + F.MINMATCH, m + F.MINMATCH
+                    # selection preview capped at 64 B (the kernel
+                    # compares within its verify window; ties at the cap
+                    # go to the nearest candidate in both)
+                    cl = min(matchlimit - p_, 64)
+                    mc = 0
+                    while mc < cl and src[p_ + mc] == src[m_ + mc]:
+                        mc += 1
+                    if mc > best_mc:       # strict: nearest wins ties
+                        best_mc = mc
+                        mpos = m
+                if mpos >= 0:
+                    found = True
+                    break
+            if not found:
+                break
+
+            while pos > anchor and mpos > 0 and src[pos - 1] == src[mpos - 1]:
+                pos -= 1
+                mpos -= 1
+
+            lit_len = pos - anchor
+            token_at = len(dst)
+            dst.append(0)
+            if lit_len >= F.RUN_MASK:
+                token = F.RUN_MASK << F.ML_BITS
+                rem = lit_len - F.RUN_MASK
+                while rem >= 255:
+                    dst.append(255)
+                    rem -= 255
+                dst.append(rem)
+            else:
+                token = lit_len << F.ML_BITS
+            dst += src[anchor:pos]
+
+            offset = pos - mpos
+            dst += offset.to_bytes(2, "little")
+            p = pos + F.MINMATCH
+            m = mpos + F.MINMATCH
+            count_limit = matchlimit - p
+            mc = 0
+            while mc < count_limit and src[p + mc] == src[m + mc]:
+                mc += 1
+            pos = p + mc
+            if mc >= F.ML_MASK:
+                token += F.ML_MASK
+                rem = mc - F.ML_MASK
+                while rem >= 255:
+                    dst.append(255)
+                    rem -= 255
+                dst.append(rem)
+            else:
+                token += mc
+            dst[token_at] = token
+            anchor = pos
+            if pos > mflimit:
+                break
+
+    last_run = n - anchor
+    if last_run >= F.RUN_MASK:
+        dst.append(F.RUN_MASK << F.ML_BITS)
+        rem = last_run - F.RUN_MASK
+        while rem >= 255:
+            dst.append(255)
+            rem -= 255
+        dst.append(rem)
+    else:
+        dst.append(last_run << F.ML_BITS)
+    dst += src[anchor:]
+    return bytes(dst)
+
+
 def compress_dense(src: bytes | bytearray | memoryview,
                    acceleration: int = 1, hashlog: int = 13) -> bytes:
     """Greedy LZ4 compress with the DENSE candidate rule — the byte-exact

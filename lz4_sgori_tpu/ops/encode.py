@@ -216,20 +216,18 @@ def compress_blocks_device(raw, raw_len, block_size: int,
     use_pallas = impl in ("pallas", "scalar") or (
         impl == "auto" and on_tpu and block_size <= 65536)
     if use_pallas:
-        if match_depth is not None and match_depth > 1 and impl == "auto":
-            import warnings
-            warnings.warn(
-                f"match_depth={match_depth} requested but the TPU lockstep "
-                "kernel is selected (impl='auto'); deep match runs greedy "
-                "level-1 here. Pass impl='xla' to force the deep-match "
-                "engine.", stacklevel=2)
         if impl == "scalar":
             from .pallas.encode_kernel import compress_blocks_pallas
             comp, comp_len = compress_blocks_pallas(
                 raw, raw_len, block_size, acceleration=acceleration)
         else:
+            # match_depth >= 2 selects the deep kernel mode: best-of-3
+            # chain candidates per probe (golden.compress_deep, ~0.956x
+            # LZ4_compress_default). impl='xla' stays the max-ratio
+            # engine (exhaustive depth + lazy parse, ~0.92x, slow).
+            depth = 3 if (match_depth or 1) > 1 else 1
             comp, comp_len = compress_blocks_pallas_dispatch(
-                raw, raw_len, block_size, acceleration)
+                raw, raw_len, block_size, acceleration, depth=depth)
     else:
         if acceleration > 1:
             import warnings
@@ -295,7 +293,8 @@ def _compress_blocks_segmented(raw, raw_len, block_size: int,
 
 
 def compress_blocks_pallas_dispatch(raw, raw_len, block_size: int,
-                                    acceleration: int = 1):
+                                    acceleration: int = 1,
+                                    depth: int = 1):
     """Indirection point for the TPU kernel path (lets tests monkeypatch
     and keeps the lazy import in one place).
 
@@ -307,7 +306,7 @@ def compress_blocks_pallas_dispatch(raw, raw_len, block_size: int,
     kernel defect."""
     from .pallas.lockstep_enc3 import compress_blocks_lockstep_enc3
     comp, comp_len, err = compress_blocks_lockstep_enc3(
-        raw, raw_len, block_size, accel=acceleration)
+        raw, raw_len, block_size, accel=acceleration, depth=depth)
     comp_len = jnp.where(err, 0, comp_len)
     return comp, comp_len
 

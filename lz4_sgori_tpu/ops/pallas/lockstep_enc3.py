@@ -212,12 +212,21 @@ def _sort_ref(ref, g, NP: int):
         m *= 2
 
 
-def _cand_kernel(src_ref, n_ref, cand_ref, dens_ref, *, NP: int):
+def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
+                 depth: int = 1):
     """Dense hash16 candidates for one 128-lane group.
 
     Writes cand_ref rows p = (p << 16) | d16[p] (d16 in the low half —
     the parse masks & 0xFFFF) and dens_ref = per-lane count of
-    candidate-bearing positions (the pass-2 grouping key)."""
+    candidate-bearing positions (the pass-2 grouping key). depth > 1
+    additionally writes gaps_ref rows p = (p << 16) | g2 | g3 << 8 —
+    the chain gaps to the 2nd/3rd most recent same-bucket positions
+    (golden.dense_gaps), read as rolled rows 2/3 of the bucket sort.
+    """
+    if depth > 1:
+        gaps_ref, dens_ref = rest
+    else:
+        dens_ref, = rest
     g = 0
     n = n_ref[0]
     np4 = NP // 4
@@ -253,16 +262,31 @@ def _cand_kernel(src_ref, n_ref, cand_ref, dens_ref, *, NP: int):
     def d16_body(t, carry, nch=nch):
         c = nch - 1 - t
         x = cand_ref[g, pl.ds(c * ch, ch), :]
-        # boundary row ch*c - 1 via an 8-aligned dynamic read (1-row
-        # dynamic slices are not tile-aligned)
+        # boundary rows via an 8-aligned dynamic read (1-row dynamic
+        # slices are not tile-aligned)
         pr8 = cand_ref[g, pl.ds(jnp.maximum(c * ch - 8, 0), 8), :]
         prev = jnp.concatenate([pr8[7:8], x[:ch - 1]], axis=0)
         pos = x & 0xFFFF
         d = (pos - (prev & 0xFFFF)) & 0xFFFF
-        same = LK.shift_right_u(x, 16) == LK.shift_right_u(prev, 16)
+        bkt = LK.shift_right_u(x, 16)
+        same = bkt == LK.shift_right_u(prev, 16)
         valid = pos <= _bcast(n - 4, ch)
-        first = (iota_c + c * ch) > 0
+        grow = iota_c + c * ch
+        first = grow > 0
         d16 = jnp.where(same & valid & first, d, 0)
+        if depth > 1:
+            prev2 = jnp.concatenate([pr8[6:8], x[:ch - 2]], axis=0)
+            prev3 = jnp.concatenate([pr8[5:8], x[:ch - 3]], axis=0)
+            same2 = (bkt == LK.shift_right_u(prev2, 16)) & (grow > 1)
+            same3 = (bkt == LK.shift_right_u(prev3, 16)) & (grow > 2)
+            g2 = (prev & 0xFFFF) - (prev2 & 0xFFFF)
+            g3 = (prev2 & 0xFFFF) - (prev3 & 0xFFFF)
+            g2ok = (d16 != 0) & same2 & (g2 >= 1) & (g2 <= 254)
+            g3ok = g2ok & same3 & (g3 >= 1) & (g3 <= 254)
+            gaps = jnp.where(g2ok, g2, 0) \
+                | LK.shift_left_u(jnp.where(g3ok, g3, 0), 8)
+            gaps_ref[g, pl.ds(c * ch, ch), :] = \
+                (LK.shift_left_u(pos, 16) | gaps) ^ jnp.int32(-0x80000000)
         # sort-2 key: row p = (p << 16) | d16[p]; pos >= 2^15 flips the
         # sign, so bias to unsigned order (unbiased in the output pass)
         cand_ref[g, pl.ds(c * ch, ch), :] = \
@@ -273,6 +297,15 @@ def _cand_kernel(src_ref, n_ref, cand_ref, dens_ref, *, NP: int):
 
     # ---- sort 2 by pos, then unbias + density ----
     _sort_ref(cand_ref, g, NP)
+    if depth > 1:
+        _sort_ref(gaps_ref, g, NP)
+
+        def unbias_g(c, carry):
+            gaps_ref[g, pl.ds(c * ch, ch), :] = \
+                gaps_ref[g, pl.ds(c * ch, ch), :] ^ jnp.int32(-0x80000000)
+            return carry
+
+        jax.lax.fori_loop(0, nch, unbias_g, 0)
 
     def unbias(c, dens):
         x = cand_ref[g, pl.ds(c * ch, ch), :] ^ jnp.int32(-0x80000000)
@@ -290,7 +323,7 @@ def _grid_fits(*buffers) -> bool:
     return 2 * sum(buffers) * LANES * 4 < 60 * 1024 * 1024
 
 
-def _cand_call(tapes, nlane, NP: int, interpret: bool):
+def _cand_call(tapes, nlane, NP: int, interpret: bool, depth: int = 1):
     """Small blocks run one multi-group grid; large blocks invoke per
     group (a multi-group grid double-buffers the 32 MB cand output and
     blows VMEM, while per-group output concats of SMALL pieces trigger
@@ -298,27 +331,29 @@ def _cand_call(tapes, nlane, NP: int, interpret: bool):
     compile)."""
     sw = tapes.shape[1]
     ng = tapes.shape[0]
-    grid_ng = ng if _grid_fits(sw, NP) else 1
+    ntapes = 2 if depth > 1 else 1
+    grid_ng = ng if _grid_fits(sw, ntapes * NP) else 1
+    big = [pl.BlockSpec((1, NP, LANES), lambda g: (g, 0, 0))
+           for _ in range(ntapes)]
 
     def mk(gn):
         return pl.pallas_call(
-            functools.partial(_cand_kernel, NP=NP),
+            functools.partial(_cand_kernel, NP=NP, depth=depth),
             grid=(gn,),
             in_specs=[
                 pl.BlockSpec((1, sw, LANES), lambda g: (g, 0, 0)),
                 pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
             ],
-            out_specs=[
-                pl.BlockSpec((1, NP, LANES), lambda g: (g, 0, 0)),
+            out_specs=big + [
                 pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
             ],
-            out_shape=[
-                jax.ShapeDtypeStruct((gn, NP, LANES), jnp.int32),
+            out_shape=[jax.ShapeDtypeStruct((gn, NP, LANES), jnp.int32)
+                       for _ in range(ntapes)] + [
                 jax.ShapeDtypeStruct((gn, 1, LANES), jnp.int32),
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=120 * 1024 * 1024),
+                vmem_limit_bytes=126 * 1024 * 1024),
         )
 
     if grid_ng == ng:
@@ -327,9 +362,9 @@ def _cand_call(tapes, nlane, NP: int, interpret: bool):
     outs = [call(tapes[g:g + 1], nlane[g:g + 1]) for g in range(ng)]
     # barrier: XLA otherwise fuses the concat into the downstream permute
     # gather, materializing the whole cand set in one 64 MB-scoped fusion
-    return jax.lax.optimization_barrier(
-        (jnp.concatenate([o[0] for o in outs], axis=0),
-         jnp.concatenate([o[1] for o in outs], axis=0)))
+    return jax.lax.optimization_barrier(tuple(
+        jnp.concatenate([o[k] for o in outs], axis=0)
+        for k in range(ntapes + 1)))
 
 
 # ---------------------------------------------------------------------------
@@ -338,7 +373,8 @@ def _cand_call(tapes, nlane, NP: int, interpret: bool):
 
 
 def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
-                 wok: bool = True):
+                 wok: bool = True, depth: int = 1, gandw=None,
+                 wb2=None, wb3=None):
     """Advance every live lane one step of its mode.
 
     Operands loaded by the round wrapper (banded, gated, per round):
@@ -417,9 +453,16 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
     # extract the winning d16
     selrow = _bcast(first_hit >> 1, LCP) == iot
     selw = jnp.sum(jnp.where(selrow, candw, 0), axis=0, keepdims=True)
-    hit_d = jnp.where((first_hit & 1) == 0, selw & 0xFFFF,
+    hit_lo_half = (first_hit & 1) == 0
+    hit_d = jnp.where(hit_lo_half, selw & 0xFFFF,
                       LK.shift_right_u(selw, 16))
     hit_pos = candb + first_hit
+    gp = st["gp"] if depth > 1 else None
+    if depth > 1:
+        selg = jnp.sum(jnp.where(selrow, gandw, 0), axis=0, keepdims=True)
+        hit_g = jnp.where(hit_lo_half, selg & 0xFFFF,
+                          LK.shift_right_u(selg, 16))
+        gp = jnp.where(srch_hit, hit_g, gp)
     # loop B: replay the schedule through probes at offsets <= stop
     stop = jnp.where(srch_hit, first_hit, jnp.int32(2 * WPOS))
     fp_b, st_b, sm_b = fpos, step, smn
@@ -441,6 +484,37 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
 
     # ---- VFY / PREP / EXT: verify + catch-up + forward extension ----
     ra0 = _r32(wa, 16)
+    if depth > 1:
+        # best-of-3 candidate selection (golden.compress_deep): forward
+        # preview capped at 64 B from the verify windows, nearest wins
+        # ties; the winner's window/offset feed the normal flow below
+        fa_p = funnel(wa, jnp.full((1, LANES), 20, jnp.int32), CAPW - 3)
+        d2v = d + (gp & 255)
+        d3v = d2v + LK.shift_right_u(gp, 8)
+
+        def prev_mc(wbk, have):
+            ok = have & (_r32(wbk, 16) == ra0)
+            fb_p = funnel(wbk, jnp.full((1, LANES), 20, jnp.int32),
+                          CAPW - 3)
+            mc = jnp.minimum(_lead_eq(fa_p, fb_p), 64)
+            return ok, jnp.where(ok, mc, -1)
+
+        ok1, mc1 = prev_mc(wb, g_vfy)
+        ok2, mc2 = prev_mc(wb2, g_vfy & ((gp & 255) != 0))
+        ok3, mc3 = prev_mc(wb3, g_vfy & (LK.shift_right_u(gp, 8) != 0))
+        best = mc1
+        dwin = d
+        use2 = mc2 > best
+        best = jnp.maximum(best, mc2)
+        dwin = jnp.where(use2, d2v, dwin)
+        use3 = mc3 > best
+        dwin = jnp.where(use3, d3v, dwin)
+        anyok = ok1 | ok2 | ok3
+        sel2 = use2 & ~use3
+        wb = jnp.where(_bcast(use3, CAPW), wb3,
+                       jnp.where(_bcast(sel2, CAPW), wb2, wb))
+        d = jnp.where(g_vfy & anyok, dwin, d)
+        mpos = jnp.where(g_vfy & anyok, pos - dwin, mpos)
     rb0 = _r32(wb, 16)
     vfy_ok = g_vfy & (ra0 == rb0)
     vfy_fail = g_vfy & (ra0 != rb0)
@@ -581,13 +655,16 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
     st2 = dict(mode=mode, pos=pos, fpos=fpos, step=step, smn=smn,
                anchor=anchor, mpos=mpos, mc=mc, lit=lit, d=d, opos=opos,
                hk=hk, ldone=ldone, tpos=tpos, rounds=st["rounds"] + 1)
+    if depth > 1:
+        st2["gp"] = gp
     return st2, stag
 
 
-def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
-                  tl_ref, candw_ref, candb_ref, wa_ref, wb_ref, fl_ref, *,
+def _parse_kernel(src_ref, cand_ref, gaps_ref, n_ref, out_ref, len_ref,
+                  err_ref, tl_ref, candw_ref, candb_ref, wa_ref, wb_ref,
+                  gandw_ref, wb2_ref, wb3_ref, fl_ref, *,
                   SW: int, CPR: int, OR: int, accel: int, unroll: int = 2,
-                  wb_band: int = 64,
+                  wb_band: int = 64, depth: int = 1,
                   debug_rounds: bool = False, debug_modes: bool = False):
     g = 0
     n = n_ref[0]
@@ -603,6 +680,8 @@ def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
               smn=z + (accel << F.SKIPTRIGGER),
               anchor=z, mpos=z, mc=z, lit=z, d=z, opos=z,
               hk=z, ldone=z, tpos=z, rounds=z)
+    if depth > 1:
+        st["gp"] = z
     if debug_modes:
         st["dbg"] = _bcast(z, 16)
     fl_ref[...] = z
@@ -675,6 +754,9 @@ def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
             candw_ref[...] = extract_rows_banded(
                 cand_ref, g, crb, LCP, CPR, bounds=(c_lo, c_hi))
             candb_ref[...] = cb_new
+            if depth > 1:
+                gandw_ref[...] = extract_rows_banded(
+                    gaps_ref, g, crb, LCP, CPR, bounds=(c_lo, c_hi))
 
         @pl.when(((packed1 >> 8) & 255) != 0)
         def _load_wa():
@@ -688,6 +770,21 @@ def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
             wb_ref[...] = extract_bytes_banded(
                 src_ref, g, wb_c, CAPW, SW, bounds=(b_lo, b_hi),
                 band=wb_band)
+            if depth > 1:
+                # 2nd/3rd chain candidates (deep mode): same span class
+                gp = st["gp"]
+                d2 = st["d"] + (gp & 255)
+                d3 = d2 + LK.shift_right_u(gp, 8)
+                w2 = jnp.where(g_ab, st["pos"] - d2 - 16, wb_lo)
+                w3 = jnp.where(g_ab, st["pos"] - d3 - 16, wb_lo)
+                wb2_ref[...] = extract_bytes_banded(
+                    src_ref, g, w2, CAPW, SW,
+                    bounds=(jnp.minimum(jnp.min(w2) >> (2 + wblog), b_lo),
+                            b_hi), band=wb_band)
+                wb3_ref[...] = extract_bytes_banded(
+                    src_ref, g, w3, CAPW, SW,
+                    bounds=(jnp.minimum(jnp.min(w3) >> (2 + wblog), b_lo),
+                            b_hi), band=wb_band)
 
         @pl.when((packed2 & 255) != 0)
         def _do_flush():
@@ -715,10 +812,13 @@ def _parse_kernel(src_ref, cand_ref, n_ref, out_ref, len_ref, err_ref,
             if debug_modes:
                 inc = inc + (rows16 == _bcast(st2["mode"], 16)) \
                     .astype(jnp.int32)
-            st2, stag = _parse_round(st2, stag, fl2, wa_ref[...],
-                                     wb_ref[...], candw_ref[...],
-                                     candb_ref[...], n, accel,
-                                     wok=(u == 0))
+            st2, stag = _parse_round(
+                st2, stag, fl2, wa_ref[...], wb_ref[...],
+                candw_ref[...], candb_ref[...], n, accel,
+                wok=(u == 0), depth=depth,
+                gandw=gandw_ref[...] if depth > 1 else None,
+                wb2=wb2_ref[...] if depth > 1 else None,
+                wb3=wb3_ref[...] if depth > 1 else None)
         if debug_modes:
             st2["dbg"] = dbg + inc
         return st2, stag
@@ -774,7 +874,7 @@ def _permute_blocks(x, order, chunk: int = 2048):
                    static_argnames=("block_size", "accel", "interpret",
                                     "group_sort", "unroll", "debug_rounds",
                                     "debug_modes", "cand_only",
-                                    "return_tails", "wb_band"))
+                                    "return_tails", "wb_band", "depth"))
 def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
                                   accel: int = 1,
                                   interpret: bool = False,
@@ -784,7 +884,8 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
                                   debug_modes: bool = False,
                                   cand_only: bool = False,
                                   return_tails: bool = False,
-                                  wb_band: int = 64):
+                                  wb_band: int = 64,
+                                  depth: int = 1):
     """Compress a batch of independent LZ4 blocks (v3 sort engine).
 
     raw uint8 [B, block_size] zero-padded, raw_len int32 [B] ->
@@ -822,7 +923,12 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
     nlane = gl.reshape(ng, 1, LANES)
 
     # ---- pass 1: candidates ----
-    cand, dens = _cand_call(tapes, nlane, np_, interpret)
+    if depth > 1:
+        cand, gaps, dens = _cand_call(tapes, nlane, np_, interpret,
+                                      depth=depth)
+    else:
+        cand, dens = _cand_call(tapes, nlane, np_, interpret)
+        gaps = None
     if cand_only:
         return cand, dens
     # pack two positions per row: the cand refill walk is the largest
@@ -830,6 +936,8 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
     # row per position) — halving its rows halves those bytes
     cand = _pack_cand(cand)
     cpr = np_ // 2
+    gaps = _pack_cand(gaps) if depth > 1 else \
+        jnp.zeros((ng, 8, LANES), jnp.int32)
 
     # ---- regroup by density (slowest blocks share groups) ----
     if group_sort and ng > 1:
@@ -838,6 +946,8 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
         inv = jnp.argsort(order)
         tapes = _permute_blocks(tapes, order)
         cand = _permute_blocks(cand, order)
+        if depth > 1:
+            gaps = _permute_blocks(gaps, order)
         gl_s = gl.reshape(-1)[order].reshape(ng, LANES)
         nlane = gl_s.reshape(ng, 1, LANES)
 
@@ -845,16 +955,18 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
     out_cap = -(-bound // (4 * BAND)) * (4 * BAND)
     orr = out_cap // 4
 
-    grid_ng = ng if _grid_fits(sw, cpr, orr) else 1
+    gpr = gaps.shape[1]
+    grid_ng = ng if _grid_fits(sw, cpr, gpr, orr) else 1
     parse_call = pl.pallas_call(
         functools.partial(_parse_kernel, SW=sw, CPR=cpr, OR=orr,
                           accel=accel, unroll=unroll, wb_band=wb_band,
-                          debug_rounds=debug_rounds,
+                          depth=depth, debug_rounds=debug_rounds,
                           debug_modes=debug_modes),
         grid=(grid_ng,),
         in_specs=[
             pl.BlockSpec((1, sw, LANES), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, cpr, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, gpr, LANES), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
         ],
         out_specs=[
@@ -874,6 +986,9 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
             pltpu.VMEM((1, LANES), jnp.int32),         # cand window base
             pltpu.VMEM((CAPW, LANES), jnp.int32),      # wa operand
             pltpu.VMEM((CAPW, LANES), jnp.int32),      # wb operand
+            pltpu.VMEM((LCP, LANES), jnp.int32),       # gaps window
+            pltpu.VMEM((CAPW, LANES), jnp.int32),      # wb2 (deep)
+            pltpu.VMEM((CAPW, LANES), jnp.int32),      # wb3 (deep)
             pltpu.VMEM((1, LANES), jnp.int32),         # flush frontier
         ],
         interpret=interpret,
@@ -881,11 +996,12 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
             vmem_limit_bytes=110 * 1024 * 1024),
     )
     if grid_ng == ng:
-        out, out_len, err, tails = parse_call(tapes, cand, nlane)
+        out, out_len, err, tails = parse_call(tapes, cand, gaps, nlane)
     else:
         # one invocation per group: a multi-group grid double-buffers the
         # 32 MB cand input window and blows VMEM
-        parts = [parse_call(tapes[g:g + 1], cand[g:g + 1], nlane[g:g + 1])
+        parts = [parse_call(tapes[g:g + 1], cand[g:g + 1], gaps[g:g + 1],
+                            nlane[g:g + 1])
                  for g in range(ng)]
         out = jax.lax.optimization_barrier(
             jnp.concatenate([p[0] for p in parts], axis=0))

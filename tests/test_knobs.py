@@ -55,20 +55,22 @@ def test_pallas_encode_acceleration_matches_golden(fixtures, accel):
         assert got == want, (name, accel)
 
 
-def test_match_depth_warns_when_greedy_kernel_selected(monkeypatch, fixtures):
-    """impl='auto' on a TPU backend routes to the greedy kernel; an explicit
-    match_depth > 1 must warn rather than silently no-op (VERDICT r1)."""
+def test_match_depth_selects_deep_kernel(monkeypatch, fixtures):
+    """impl='auto' on a TPU backend with match_depth > 1 selects the deep
+    lockstep mode (depth=3) — no silent no-op, no warning (VERDICT r1
+    wanted a warning when deep was impossible; round 3 made it real)."""
     import lz4_sgori_tpu.ops.encode as E
 
     calls = {}
 
-    def fake_dispatch(raw, raw_len, block_size, acceleration=1):
-        calls["pallas"] = True
-        from lz4_sgori_tpu.ops.pallas.encode_kernel import \
-            compress_blocks_pallas
-        return compress_blocks_pallas(raw, raw_len, block_size,
-                                      interpret=True,
-                                      acceleration=acceleration)
+    def fake_dispatch(raw, raw_len, block_size, acceleration=1, depth=1):
+        calls["depth"] = depth
+        from lz4_sgori_tpu.ops.pallas.lockstep_enc3 import \
+            compress_blocks_lockstep_enc3
+        comp, clen, err = compress_blocks_lockstep_enc3(
+            raw, raw_len, block_size, accel=acceleration,
+            interpret=True, depth=depth)
+        return comp, clen
 
     monkeypatch.setattr(E, "compress_blocks_pallas_dispatch", fake_dispatch)
     import jax
@@ -79,14 +81,22 @@ def test_match_depth_warns_when_greedy_kernel_selected(monkeypatch, fixtures):
     raw[0, :len(data)] = np.frombuffer(data, np.uint8)
     rl = np.asarray([len(data)], np.int32)
 
-    with pytest.warns(UserWarning, match="match_depth"):
-        E.compress_blocks_device(raw, rl, 4096, match_depth=3)
-    assert calls.get("pallas")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        comp, clen = E.compress_blocks_device(raw, rl, 4096, match_depth=3)
+    assert calls.get("depth") == 3
+    want = golden.compress_deep(data + bytes(4096 - len(data)))
+    # whole-slot compare needs the padded length; check decode instead
+    out = golden.decompress(
+        np.asarray(comp)[0, :int(clen[0])].tobytes(), len(data))
+    assert out == data
+    del want
 
-    # match_depth=1 (the default) must not warn
+    # match_depth=1 (the default) stays greedy
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         E.compress_blocks_device(raw, rl, 4096, match_depth=1)
+    assert calls.get("depth") == 1
 
     # impl='xla' honors deep match without warning
     with warnings.catch_warnings():
