@@ -225,9 +225,21 @@ def compress_blocks_device(raw, raw_len, block_size: int,
             # chain candidates per probe (golden.compress_deep, ~0.956x
             # LZ4_compress_default). impl='xla' stays the max-ratio
             # engine (exhaustive depth + lazy parse, ~0.92x, slow).
+            # Batches above 4 lockstep groups run in slices: at higher
+            # group counts XLA's 16 MB scoped-fusion limit keeps
+            # tripping on the inter-kernel concat/slice pipelines.
             depth = 3 if (match_depth or 1) > 1 else 1
-            comp, comp_len = compress_blocks_pallas_dispatch(
-                raw, raw_len, block_size, acceleration, depth=depth)
+            MAXB = 512
+            if nbp > MAXB and block_size >= 16384:
+                parts = [compress_blocks_pallas_dispatch(
+                             raw[s:s + MAXB], raw_len[s:s + MAXB],
+                             block_size, acceleration, depth=depth)
+                         for s in range(0, nbp, MAXB)]
+                comp = jnp.concatenate([c for c, _ in parts], axis=0)
+                comp_len = jnp.concatenate([cl for _, cl in parts])
+            else:
+                comp, comp_len = compress_blocks_pallas_dispatch(
+                    raw, raw_len, block_size, acceleration, depth=depth)
     else:
         if acceleration > 1:
             import warnings

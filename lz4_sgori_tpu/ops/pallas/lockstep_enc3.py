@@ -359,9 +359,12 @@ def _cand_call(tapes, nlane, NP: int, interpret: bool, depth: int = 1):
     if grid_ng == ng:
         return mk(ng)(tapes, nlane)
     call = mk(1)
-    outs = [call(tapes[g:g + 1], nlane[g:g + 1]) for g in range(ng)]
-    # barrier: XLA otherwise fuses the concat into the downstream permute
-    # gather, materializing the whole cand set in one 64 MB-scoped fusion
+    # barrier EVERY piece: XLA otherwise fuses the pallas output copies
+    # and the concat (and downstream permute gathers) into single
+    # fusions whose scoped VMEM overflows (measured 64-96 MB vs 16 MB)
+    outs = [jax.lax.optimization_barrier(
+                call(tapes[g:g + 1], nlane[g:g + 1]))
+            for g in range(ng)]
     return jax.lax.optimization_barrier(tuple(
         jnp.concatenate([o[k] for o in outs], axis=0)
         for k in range(ntapes + 1)))
@@ -955,6 +958,11 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
     out_cap = -(-bound // (4 * BAND)) * (4 * BAND)
     orr = out_cap // 4
 
+    # materialize every parse input: mixed producer fusions (pack/pad/
+    # dens concat + per-group slices) repeatedly tip over the 16 MB
+    # scoped-fusion limit at high group counts
+    tapes, cand, gaps, nlane = jax.lax.optimization_barrier(
+        (tapes, cand, gaps, nlane))
     gpr = gaps.shape[1]
     grid_ng = ng if _grid_fits(sw, cpr, gpr, orr) else 1
     parse_call = pl.pallas_call(
