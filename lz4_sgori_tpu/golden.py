@@ -479,10 +479,13 @@ def compress_deep(src: bytes | bytearray | memoryview,
     Same skip-schedule parse as compress_dense, but each probe evaluates
     up to THREE candidates (the dense candidate plus the 2nd/3rd chain
     entries from dense_gaps) and takes the one with the longest forward
-    match (nearest wins ties); catch-up runs on the winner. Measured
-    0.955x LZ4_compress_default aggregate on the config-5 corpus (the
-    XLA engine's exhaustive depth-3 + lazy parse reaches 0.9165x and
-    stays available via impl='xla')."""
+    match preview (capped at 64 B; nearest wins ties), with ONE-STEP
+    LAZY deferral: if position pos+1's best preview is strictly longer,
+    the match accepts at pos+1 instead (its extra literal is covered by
+    the longer match). Catch-up runs on the winner. Measured 0.9260x
+    LZ4_compress_default aggregate on the config-5 corpus (the XLA
+    engine's exhaustive-depth lazy parse reaches 0.9141x and stays
+    available via impl='xla')."""
     src = bytes(src)
     n = len(src)
     if n > F.MAX_INPUT_SIZE:
@@ -500,6 +503,36 @@ def compress_deep(src: bytes | bytearray | memoryview,
         gaps = dense_gaps(src, hashlog)
         mflimit = n - F.MFLIMIT
         matchlimit = n - F.LASTLITERALS
+
+        def best_at(p):
+            """(preview_mc, match_pos) of the best of <= 3 candidates;
+            preview capped at 64 B (the kernel compares within its
+            verify window; ties at the cap go to the nearest)."""
+            d1 = cand_d[p]
+            if not d1:
+                return -1, -1
+            g = gaps[p]
+            ds = [d1]
+            if g & 255:
+                ds.append(d1 + (g & 255))
+                if g >> 8:
+                    ds.append(d1 + (g & 255) + (g >> 8))
+            best_mc = -1
+            mp = -1
+            for d in ds:
+                m = p - d
+                if m < 0 or rd32(m) != rd32(p):
+                    continue
+                p_, m_ = p + F.MINMATCH, m + F.MINMATCH
+                cl = min(matchlimit - p_, 64)
+                mc = 0
+                while mc < cl and src[p_ + mc] == src[m_ + mc]:
+                    mc += 1
+                if mc > best_mc:           # strict: nearest wins ties
+                    best_mc = mc
+                    mp = m
+            return best_mc, mp
+
         pos = 1
         while True:
             fpos = pos
@@ -513,35 +546,18 @@ def compress_deep(src: bytes | bytearray | memoryview,
                 fpos += step
                 step = search_match_nb >> F.SKIPTRIGGER
                 search_match_nb += 1
-                d1 = cand_d[pos]
-                if not d1:
+                mc_a, mpos = best_at(pos)
+                if mpos < 0:
                     continue
-                g = gaps[pos]
-                best_mc = -1
-                mpos = -1
-                ds = [d1]
-                if g & 255:
-                    ds.append(d1 + (g & 255))
-                    if g >> 8:
-                        ds.append(d1 + (g & 255) + (g >> 8))
-                for d in ds:
-                    m = pos - d
-                    if m < 0 or rd32(m) != rd32(pos):
-                        continue
-                    p_, m_ = pos + F.MINMATCH, m + F.MINMATCH
-                    # selection preview capped at 64 B (the kernel
-                    # compares within its verify window; ties at the cap
-                    # go to the nearest candidate in both)
-                    cl = min(matchlimit - p_, 64)
-                    mc = 0
-                    while mc < cl and src[p_ + mc] == src[m_ + mc]:
-                        mc += 1
-                    if mc > best_mc:       # strict: nearest wins ties
-                        best_mc = mc
-                        mpos = m
-                if mpos >= 0:
-                    found = True
-                    break
+                # one-step lazy: accept at pos+1 when its preview is
+                # strictly longer
+                if pos + 1 <= mflimit:
+                    mc_b, mp_b = best_at(pos + 1)
+                    if mp_b >= 0 and mc_b > mc_a:
+                        pos += 1
+                        mpos = mp_b
+                found = True
+                break
             if not found:
                 break
 

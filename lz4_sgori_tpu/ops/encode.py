@@ -222,9 +222,10 @@ def compress_blocks_device(raw, raw_len, block_size: int,
                 raw, raw_len, block_size, acceleration=acceleration)
         else:
             # match_depth >= 2 selects the deep kernel mode: best-of-3
-            # chain candidates per probe (golden.compress_deep, ~0.956x
-            # LZ4_compress_default). impl='xla' stays the max-ratio
-            # engine (exhaustive depth + lazy parse, ~0.92x, slow).
+            # chain candidates per probe with one-step lazy deferral
+            # (golden.compress_deep, ~0.926x LZ4_compress_default).
+            # impl='xla' stays the max-ratio engine (exhaustive depth,
+            # ~0.914x, orders of magnitude slower).
             # Batches above 4 lockstep groups run in slices: at higher
             # group counts XLA's 16 MB scoped-fusion limit keeps
             # tripping on the inter-kernel concat/slice pipelines.

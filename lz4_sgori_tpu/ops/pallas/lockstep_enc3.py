@@ -377,7 +377,7 @@ def _cand_call(tapes, nlane, NP: int, interpret: bool, depth: int = 1):
 
 def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
                  wok: bool = True, depth: int = 1, gandw=None,
-                 wb2=None, wb3=None):
+                 wb2=None, wb3=None, wbb1=None, wbb2=None, wbb3=None):
     """Advance every live lane one step of its mode.
 
     Operands loaded by the round wrapper (banded, gated, per round):
@@ -429,7 +429,9 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
         off = fp_a - candb
         # off < 0: the window was rebased by other lanes' minimum while
         # this lane was mid-sequence — stall until the refill re-bases it
-        probe = go & ~ex_i & (off >= 0) & (off < WPOS)
+        # probes stop 2 short of the window end so the lazy path can
+        # always read position pos+1's candidate record from the window
+        probe = go & ~ex_i & (off >= 0) & (off < WPOS - 2)
         row = _bcast(off >> 1, LCP) == iot
         mem_lo = mem_lo | jnp.where(row & _bcast(probe & ((off & 1) == 0),
                                                  LCP), 1, 0)
@@ -461,11 +463,28 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
                       LK.shift_right_u(selw, 16))
     hit_pos = candb + first_hit
     gp = st["gp"] if depth > 1 else None
+    dnx = st["dnx"] if depth > 1 else None
+    gnx = st["gnx"] if depth > 1 else None
     if depth > 1:
         selg = jnp.sum(jnp.where(selrow, gandw, 0), axis=0, keepdims=True)
         hit_g = jnp.where(hit_lo_half, selg & 0xFFFF,
                           LK.shift_right_u(selg, 16))
         gp = jnp.where(srch_hit, hit_g, gp)
+        # pos+1's record (the lazy-deferral candidate): row first_hit+1
+        # is always in-window (probes stop at WPOS-2)
+        nxt = first_hit + 1
+        selrow_n = _bcast(nxt >> 1, LCP) == iot
+        nxt_lo = (nxt & 1) == 0
+        selw_n = jnp.sum(jnp.where(selrow_n, candw, 0), axis=0,
+                         keepdims=True)
+        selg_n = jnp.sum(jnp.where(selrow_n, gandw, 0), axis=0,
+                         keepdims=True)
+        dnx = jnp.where(srch_hit,
+                        jnp.where(nxt_lo, selw_n & 0xFFFF,
+                                  LK.shift_right_u(selw_n, 16)), dnx)
+        gnx = jnp.where(srch_hit,
+                        jnp.where(nxt_lo, selg_n & 0xFFFF,
+                                  LK.shift_right_u(selg_n, 16)), gnx)
     # loop B: replay the schedule through probes at offsets <= stop
     stop = jnp.where(srch_hit, first_hit, jnp.int32(2 * WPOS))
     fp_b, st_b, sm_b = fpos, step, smn
@@ -473,7 +492,7 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
     for _ in range(K1):
         ex_i = go & (fp_b + st_b > mflimit + 1)
         off = fp_b - candb
-        adv = go & ~ex_i & (off >= 0) & (off < WPOS) & (off <= stop)
+        adv = go & ~ex_i & (off >= 0) & (off < WPOS - 2) & (off <= stop)
         fp_b = jnp.where(adv, fp_b + st_b, fp_b)
         st_b = jnp.where(adv, LK.shift_right_u(sm_b, F.SKIPTRIGGER), st_b)
         sm_b = jnp.where(adv, sm_b + 1, sm_b)
@@ -487,35 +506,67 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
 
     # ---- VFY / PREP / EXT: verify + catch-up + forward extension ----
     ra0 = _r32(wa, 16)
+    defer = jnp.zeros((1, LANES), bool)
     if depth > 1:
         # best-of-3 candidate selection (golden.compress_deep): forward
         # preview capped at 64 B from the verify windows, nearest wins
-        # ties; the winner's window/offset feed the normal flow below
-        fa_p = funnel(wa, jnp.full((1, LANES), 20, jnp.int32), CAPW - 3)
+        # ties; then ONE-STEP LAZY: if pos+1's best-of-3 previews
+        # strictly longer, the match accepts at pos+1 (its window set
+        # wbb* was loaded by the wrapper from the dnx/gnx record)
+        t20 = jnp.full((1, LANES), 20, jnp.int32)
+
+        def pick(fa_p, ref32, cands):
+            best = jnp.full((1, LANES), -1, jnp.int32)
+            dwin = jnp.zeros((1, LANES), jnp.int32)
+            anyok = jnp.zeros((1, LANES), bool)
+            for wbk, dk, have in cands:
+                ok = have & (_r32(wbk, 16) == ref32)
+                mc = jnp.where(ok, jnp.minimum(
+                    _lead_eq(fa_p, funnel(wbk, t20, CAPW - 3)), 64), -1)
+                use = mc > best
+                best = jnp.maximum(best, mc)
+                dwin = jnp.where(use, dk, dwin)
+                anyok = anyok | ok
+            return best, dwin, anyok
+
+        fa_p = funnel(wa, t20, CAPW - 3)
         d2v = d + (gp & 255)
         d3v = d2v + LK.shift_right_u(gp, 8)
-
-        def prev_mc(wbk, have):
-            ok = have & (_r32(wbk, 16) == ra0)
-            fb_p = funnel(wbk, jnp.full((1, LANES), 20, jnp.int32),
-                          CAPW - 3)
-            mc = jnp.minimum(_lead_eq(fa_p, fb_p), 64)
-            return ok, jnp.where(ok, mc, -1)
-
-        ok1, mc1 = prev_mc(wb, g_vfy)
-        ok2, mc2 = prev_mc(wb2, g_vfy & ((gp & 255) != 0))
-        ok3, mc3 = prev_mc(wb3, g_vfy & (LK.shift_right_u(gp, 8) != 0))
-        best = mc1
-        dwin = d
-        use2 = mc2 > best
-        best = jnp.maximum(best, mc2)
-        dwin = jnp.where(use2, d2v, dwin)
-        use3 = mc3 > best
-        dwin = jnp.where(use3, d3v, dwin)
-        anyok = ok1 | ok2 | ok3
-        sel2 = use2 & ~use3
-        wb = jnp.where(_bcast(use3, CAPW), wb3,
-                       jnp.where(_bcast(sel2, CAPW), wb2, wb))
+        bestA, dwinA, anyokA = pick(fa_p, ra0, [
+            (wb, d, g_vfy),
+            (wb2, d2v, g_vfy & ((gp & 255) != 0)),
+            (wb3, d3v, g_vfy & (LK.shift_right_u(gp, 8) != 0))])
+        ra1 = _r32(wa, 17)
+        fa_p1 = funnel(wa, t20 + 1, CAPW - 3)
+        db2 = dnx + (gnx & 255)
+        db3 = db2 + LK.shift_right_u(gnx, 8)
+        lz = g_vfy & (pos + 1 <= mflimit)
+        bestB, dwinB, anyokB = pick(fa_p1, ra1, [
+            (wbb1, dnx, lz & (dnx != 0)),
+            (wbb2, db2, lz & (dnx != 0) & ((gnx & 255) != 0)),
+            (wbb3, db3, lz & (dnx != 0)
+             & (LK.shift_right_u(gnx, 8) != 0))])
+        defer = anyokA & anyokB & (bestB > bestA)
+        anyok = anyokA
+        dwin = jnp.where(defer, dwinB, dwinA)
+        # the winner's source window, from the six loaded
+        useA2 = ~defer & (dwinA == d2v) & ((gp & 255) != 0)
+        useA3 = ~defer & (dwinA == d3v) & (LK.shift_right_u(gp, 8) != 0)
+        useB2 = defer & (dwinB == db2) & ((gnx & 255) != 0)
+        useB3 = defer & (dwinB == db3) & (LK.shift_right_u(gnx, 8) != 0)
+        useB1 = defer & ~useB2 & ~useB3
+        wb = jnp.where(_bcast(useB3, CAPW), wbb3,
+             jnp.where(_bcast(useB2, CAPW), wbb2,
+             jnp.where(_bcast(useB1, CAPW), wbb1,
+             jnp.where(_bcast(useA3, CAPW), wb3,
+             jnp.where(_bcast(useA2, CAPW), wb2, wb)))))
+        # a deferred lane behaves as if its verify windows were loaded
+        # at (pos+1)-16: shift wa by one byte and advance pos, then the
+        # whole downstream flow (verify, catch-up, extension, fused
+        # emission) sees pos+1 semantics unchanged
+        wa = LK.byteshift_up(wa, defer.astype(jnp.int32))
+        ra0 = jnp.where(defer, ra1, ra0)
+        pos = jnp.where(defer, pos + 1, pos)
         d = jnp.where(g_vfy & anyok, dwin, d)
         mpos = jnp.where(g_vfy & anyok, pos - dwin, mpos)
     rb0 = _r32(wb, 16)
@@ -539,7 +590,9 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
     fb = funnel(wb, t_off, CAPW - 3)
     le = jnp.minimum(_lead_eq(fa, fb), 4 * (CAPW - 3))
     span = jnp.where(g_ext, 4 * (CAPW - 3),
-                     jnp.minimum(4 * (CAPW - 3), 4 * CAPW - t_off - 3))
+                     jnp.minimum(4 * (CAPW - 3),
+                                 4 * CAPW - t_off - 3
+                                 - defer.astype(jnp.int32)))
     cl = matchlimit - (pos + F.MINMATCH)
     mc = jnp.where(ext_now & ~g_ext, 0, mc)
     add = jnp.minimum(jnp.minimum(le, span), cl - mc)
@@ -660,12 +713,15 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
                hk=hk, ldone=ldone, tpos=tpos, rounds=st["rounds"] + 1)
     if depth > 1:
         st2["gp"] = gp
+        st2["dnx"] = dnx
+        st2["gnx"] = gnx
     return st2, stag
 
 
 def _parse_kernel(src_ref, cand_ref, gaps_ref, n_ref, out_ref, len_ref,
                   err_ref, tl_ref, candw_ref, candb_ref, wa_ref, wb_ref,
-                  gandw_ref, wb2_ref, wb3_ref, fl_ref, *,
+                  gandw_ref, wb2_ref, wb3_ref, wbb1_ref, wbb2_ref,
+                  wbb3_ref, fl_ref, *,
                   SW: int, CPR: int, OR: int, accel: int, unroll: int = 2,
                   wb_band: int = 64, depth: int = 1,
                   debug_rounds: bool = False, debug_modes: bool = False):
@@ -685,6 +741,8 @@ def _parse_kernel(src_ref, cand_ref, gaps_ref, n_ref, out_ref, len_ref,
               hk=z, ldone=z, tpos=z, rounds=z)
     if depth > 1:
         st["gp"] = z
+        st["dnx"] = z
+        st["gnx"] = z
     if debug_modes:
         st["dbg"] = _bcast(z, 16)
     fl_ref[...] = z
@@ -774,20 +832,27 @@ def _parse_kernel(src_ref, cand_ref, gaps_ref, n_ref, out_ref, len_ref,
                 src_ref, g, wb_c, CAPW, SW, bounds=(b_lo, b_hi),
                 band=wb_band)
             if depth > 1:
-                # 2nd/3rd chain candidates (deep mode): same span class
+                # 2nd/3rd chain candidates plus the pos+1 lazy set
+                # (deep mode): same span class
                 gp = st["gp"]
                 d2 = st["d"] + (gp & 255)
                 d3 = d2 + LK.shift_right_u(gp, 8)
-                w2 = jnp.where(g_ab, st["pos"] - d2 - 16, wb_lo)
-                w3 = jnp.where(g_ab, st["pos"] - d3 - 16, wb_lo)
-                wb2_ref[...] = extract_bytes_banded(
-                    src_ref, g, w2, CAPW, SW,
-                    bounds=(jnp.minimum(jnp.min(w2) >> (2 + wblog), b_lo),
-                            b_hi), band=wb_band)
-                wb3_ref[...] = extract_bytes_banded(
-                    src_ref, g, w3, CAPW, SW,
-                    bounds=(jnp.minimum(jnp.min(w3) >> (2 + wblog), b_lo),
-                            b_hi), band=wb_band)
+                dnx, gnx = st["dnx"], st["gnx"]
+                db2 = dnx + (gnx & 255)
+                db3 = db2 + LK.shift_right_u(gnx, 8)
+                addr = [st["pos"] - d2 - 16, st["pos"] - d3 - 16,
+                        st["pos"] + 1 - dnx - 16, st["pos"] + 1 - db2 - 16,
+                        st["pos"] + 1 - db3 - 16]
+                refs = [wb2_ref, wb3_ref, wbb1_ref, wbb2_ref, wbb3_ref]
+                for wk_addr, wk_ref in zip(addr, refs):
+                    wkc = jnp.where(g_ab, wk_addr, wb_lo)
+                    # independent walk bounds: these windows' addresses
+                    # are NOT contained in the primary wb span
+                    wk_ref[...] = extract_bytes_banded(
+                        src_ref, g, wkc, CAPW, SW,
+                        bounds=(jnp.min(wkc) >> (2 + wblog),
+                                jnp.max(wkc) >> (2 + wblog)),
+                        band=wb_band)
 
         @pl.when((packed2 & 255) != 0)
         def _do_flush():
@@ -821,7 +886,10 @@ def _parse_kernel(src_ref, cand_ref, gaps_ref, n_ref, out_ref, len_ref,
                 wok=(u == 0), depth=depth,
                 gandw=gandw_ref[...] if depth > 1 else None,
                 wb2=wb2_ref[...] if depth > 1 else None,
-                wb3=wb3_ref[...] if depth > 1 else None)
+                wb3=wb3_ref[...] if depth > 1 else None,
+                wbb1=wbb1_ref[...] if depth > 1 else None,
+                wbb2=wbb2_ref[...] if depth > 1 else None,
+                wbb3=wbb3_ref[...] if depth > 1 else None)
         if debug_modes:
             st2["dbg"] = dbg + inc
         return st2, stag
@@ -997,6 +1065,9 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
             pltpu.VMEM((LCP, LANES), jnp.int32),       # gaps window
             pltpu.VMEM((CAPW, LANES), jnp.int32),      # wb2 (deep)
             pltpu.VMEM((CAPW, LANES), jnp.int32),      # wb3 (deep)
+            pltpu.VMEM((CAPW, LANES), jnp.int32),      # wbb1 (lazy)
+            pltpu.VMEM((CAPW, LANES), jnp.int32),      # wbb2 (lazy)
+            pltpu.VMEM((CAPW, LANES), jnp.int32),      # wbb3 (lazy)
             pltpu.VMEM((1, LANES), jnp.int32),         # flush frontier
         ],
         interpret=interpret,

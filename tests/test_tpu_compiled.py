@@ -188,3 +188,19 @@ def test_compiled_escape_hatch_kernels(fixtures):
     for j, data in enumerate(raws):
         assert bytes(comp[j, :clen[j]]) == bytes(golden.compress(data))
         assert not err[j] and out[j, :olen[j]].tobytes() == data
+
+
+def test_compiled_enc3_deep_parity(fixtures):
+    """depth=3 (match_depth) mode: compiled parity vs compress_deep."""
+    from lz4_sgori_tpu.ops.pallas.lockstep_enc3 import (
+        compress_blocks_lockstep_enc3)
+
+    names = ["text_small", "rle_period3", "structured", "random_4k"]
+    raws = [fixtures[n][:BS] for n in names]
+    raw, rlen = _pack(raws, BS)
+    comp, clen, err = compress_blocks_lockstep_enc3(raw, rlen, BS, depth=3)
+    comp, clen, err = np.asarray(comp), np.asarray(clen), np.asarray(err)
+    for j, data in enumerate(raws):
+        assert not err[j], names[j]
+        want = golden.compress_deep(data)
+        assert comp[j, :clen[j]].tobytes() == want, names[j]
