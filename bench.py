@@ -301,13 +301,14 @@ def main() -> None:
     # --- config 3: bdev-style 4 KiB chunks, zero/random mix ---
     rng = np.random.RandomState(77)
     chunks = []
-    for _ in range(1024):  # 4 MiB
+    for _ in range(4096):  # 16 MiB: 4 MiB measured too noisy even with
+        # escalated repeat counts (run-to-run spread 2.5-7.2 GB/s)
         if rng.rand() < 0.5:
             chunks.append(np.zeros(4096, np.uint8))
         else:
             chunks.append(rng.randint(0, 256, 4096).astype(np.uint8))
     raw4 = np.stack(chunks)
-    rlen4 = np.full(1024, 4096, np.int32)
+    rlen4 = np.full(4096, 4096, np.int32)
     raw4_d = jax.device_put(raw4, dev)
     rlen4_d = jax.device_put(rlen4, dev)
 

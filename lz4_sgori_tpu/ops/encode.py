@@ -175,22 +175,26 @@ def compress_blocks_device(raw, raw_len, block_size: int,
     count to the next power of two (with empty blocks) so recurring calls
     hit a small set of compiled shapes, then trims.
 
-    impl: "auto" picks the Pallas TPU kernel (reference-exact greedy
-    level-1; byte parity with LZ4_compress_fast for blocks <= 64 KiB at
-    every ``acceleration``) on a TPU backend and the portable XLA program
-    elsewhere.
+    impl: "auto" picks the lane-lockstep Pallas engine on a TPU backend
+    (enc3: greedy at ``match_depth`` None/1 — byte-exact to
+    golden.compress_dense(hashlog=16), aggregate size 0.989x
+    LZ4_compress_default — or the deep mode below; blocks > 64 KiB go
+    through the 64 KiB segment-splice path) and the portable XLA
+    program elsewhere. impl="scalar" forces the round-1 scalar-core
+    kernel (LZ4_compress_fast byte parity); impl="xla" the portable
+    program.
 
-    match_depth: None = each engine's own ratio-contract default (greedy
-    level-1 on the kernel path; depth 3 on the exhaustive XLA engine,
-    which needs lookback depth to hold "size <= LZ4_compress_default").
-    An explicit value selects the deep-match engine; on a TPU backend
-    "auto" keeps the fast greedy kernel and warns, because the
-    gather-formulated deep engine is orders of magnitude slower there —
-    pass impl="xla" to force it.
+    match_depth: >= 2 on the TPU kernel path selects enc3's deep mode
+    (best-of-3 chain candidates + one-step lazy deferral,
+    golden.compress_deep, ~0.926x LZ4_compress_default at ~0.06 GB/s).
+    On the XLA engine it is the exhaustive lookback depth (default 3
+    there; ~0.914x, orders of magnitude slower — the max-ratio mode).
+    Deep requests for TPU blocks > 64 KiB currently fall through to the
+    XLA engine.
 
     acceleration: LZ4_compress_fast semantics (skip-search scaling,
     lz4e_compress.c:296-307); the exhaustive XLA matcher has no skip
-    loop, so it applies only to the greedy kernel path.
+    loop, so it applies only to the kernel paths.
     """
     raw = jnp.asarray(raw)
     raw_len = jnp.asarray(raw_len)
