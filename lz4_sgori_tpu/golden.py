@@ -395,6 +395,227 @@ def compress_segmented(src: bytes | bytearray | memoryview,
     return splice_segments(streams, tails)
 
 
+def compress_dense_seg_parts(src: bytes | bytearray | memoryview,
+                             seg: int = 4096, window: int = 65536,
+                             hashlog: int = 16, acceleration: int = 1,
+                             cand_d=None, gaps=None, depth: int = 1):
+    """Segment-parallel greedy parse of ONE block — the oracle of the TPU
+    enc4 segmented-lane engine (ops/pallas/lockstep_enc3.py seg mode).
+
+    The block is cut into `seg`-byte segments that are parsed
+    INDEPENDENTLY (one TPU lane each) against the shared global dense
+    candidates: matches reach backward across segment boundaries through
+    the full `window`, but a match never extends past its own segment
+    end, and each segment's parse starts fresh at its boundary. Unlike
+    compress_segmented (independent sub-BLOCKS spliced by host byte
+    patching), the per-segment streams here concatenate into one valid
+    LZ4 block with NO patching:
+
+      block = for each segment k, in order:
+                [stream_k]                 (kernel lane output)
+                [header_k]   if owner_k    (token'+literal-LSIC of the
+                                            literal run that starts at
+                                            last_end_k)
+                [src[last_end_k : seg_end_k]]   (raw tail literals)
+
+    where stream_k's FIRST sequence is emitted HEADERLESS for k > 0
+    (its token + literal-LSIC belong to the nearest previous owner's
+    header_k — the run's literal bytes span the intervening raw tails),
+    and owner_k = (segment k has a match) or k == 0. All header_k fields
+    derive from per-segment scalars (last_end, first match pos/len), so
+    the host assembles blocks from raw slices + tiny headers only.
+
+    Per-segment parse bounds (vs lz4e_compress.c:234-235): a match must
+    END within the segment — matchlimit_k = min(seg_end, n-5) and the
+    search limit mfl_k = min(seg_end - MINMATCH, n - MFLIMIT); backward
+    catch-up stops at the segment start (the run anchor never re-enters
+    a previous segment). depth > 1 selects the deep candidate rule
+    (best-of-3 chain + one-step lazy, compress_deep semantics).
+
+    Returns a list of per-segment dicts:
+      stream (bytes), last_end, p1, m1, has_match
+    (p1 = first match position post-catch-up, m1 = its match code).
+    """
+    src = bytes(src)
+    n = len(src)
+    if acceleration < 1:
+        acceleration = F.ACCELERATION_DEFAULT
+    if cand_d is None:
+        cand_d = dense_candidates(src, hashlog, val16_filter=False) \
+            if n >= 4 else [0] * n
+    if depth > 1 and gaps is None:
+        gaps = dense_gaps(src, hashlog) if n >= 4 else [0] * n
+    wlim = min(window, F.DISTANCE_MAX)
+
+    def rd32(i: int) -> int:
+        return int.from_bytes(src[i:i + 4], "little")
+
+    def preview(p, mlim):
+        """Deep mode: (best preview mc, d) over <=3 chain candidates at
+        p; previews cap at 64 B, nearest wins ties (compress_deep)."""
+        d1 = cand_d[p]
+        if not d1 or d1 > wlim:
+            return -1, 0
+        ds = [d1]
+        g = gaps[p]
+        if g & 255:
+            ds.append(d1 + (g & 255))
+            if g >> 8:
+                ds.append(d1 + (g & 255) + (g >> 8))
+        best_mc, best_d = -1, 0
+        for d in ds:
+            m = p - d
+            if m < 0 or d > wlim or rd32(m) != rd32(p):
+                continue
+            p_, m_ = p + F.MINMATCH, m + F.MINMATCH
+            cl = min(mlim - p_, 64)
+            mc = 0
+            while mc < cl and src[p_ + mc] == src[m_ + mc]:
+                mc += 1
+            if mc > best_mc:
+                best_mc, best_d = mc, d
+        return best_mc, best_d
+
+    nseg = max(1, -(-n // seg))
+    parts = []
+    for k in range(nseg):
+        s0 = k * seg
+        s1 = min(s0 + seg, n)
+        mfl = min(s1 - F.MINMATCH, n - F.MFLIMIT)
+        mlim = min(s1, n - F.LASTLITERALS)
+        dst = bytearray()
+        anchor = s0
+        pos = max(s0, 1)
+        frag = k > 0
+        p1 = m1 = 0
+        has_match = False
+        while True:
+            # --- skip-accelerated search (fresh schedule per sequence) ---
+            fpos = pos
+            step = 1
+            smn = acceleration << F.SKIPTRIGGER
+            found = False
+            while True:
+                if fpos + step > mfl + 1:
+                    break
+                pos = fpos
+                fpos += step
+                step = smn >> F.SKIPTRIGGER
+                smn += 1
+                if depth > 1:
+                    mc_a, d_a = preview(pos, mlim)
+                    if mc_a < 0:
+                        continue
+                    if pos + 1 <= mfl:
+                        mc_b, d_b = preview(pos + 1, mlim)
+                        if mc_b > mc_a:
+                            pos += 1
+                            d_a = d_b
+                    mpos = pos - d_a
+                    found = True
+                    break
+                d = cand_d[pos]
+                if d and d <= wlim and rd32(pos - d) == rd32(pos):
+                    mpos = pos - d
+                    found = True
+                    break
+            if not found:
+                break
+
+            # --- catch-up, capped at the segment start (== anchor for
+            # the first sequence) ---
+            while pos > anchor and mpos > 0 and src[pos - 1] == src[mpos - 1]:
+                pos -= 1
+                mpos -= 1
+
+            lit_len = pos - anchor
+            if frag:
+                # headerless first sequence: literal share + offset +
+                # match-LSIC; token + literal-LSIC live in the previous
+                # owner's header
+                dst += src[anchor:pos]
+                token_at = None
+            else:
+                token_at = len(dst)
+                dst.append(0)
+                if lit_len >= F.RUN_MASK:
+                    token = F.RUN_MASK << F.ML_BITS
+                    rem = lit_len - F.RUN_MASK
+                    while rem >= 255:
+                        dst.append(255)
+                        rem -= 255
+                    dst.append(rem)
+                else:
+                    token = lit_len << F.ML_BITS
+                dst += src[anchor:pos]
+
+            offset = pos - mpos
+            dst += offset.to_bytes(2, "little")
+            p = pos + F.MINMATCH
+            m = mpos + F.MINMATCH
+            count_limit = mlim - p
+            mc = 0
+            while mc < count_limit and src[p + mc] == src[m + mc]:
+                mc += 1
+            pos = p + mc
+            if mc >= F.ML_MASK:
+                if not frag:
+                    token += F.ML_MASK
+                rem = mc - F.ML_MASK
+                while rem >= 255:
+                    dst.append(255)
+                    rem -= 255
+                dst.append(rem)
+            elif not frag:
+                token += mc
+            if frag:
+                p1, m1 = p - F.MINMATCH, mc
+                frag = False
+            else:
+                dst[token_at] = token
+            has_match = True
+            anchor = pos
+            if pos > mfl:
+                break
+        parts.append(dict(stream=bytes(dst), last_end=anchor,
+                          p1=p1, m1=m1, has_match=has_match))
+    return parts
+
+
+def assemble_seg_parts(src: bytes, parts, seg: int) -> bytes:
+    """Concatenate per-segment parse pieces into one LZ4 block stream
+    (see compress_dense_seg_parts). Mirrors the device assembly:
+    stream_k + (owner? token'/LSIC header) + raw tail slice."""
+    src = bytes(src)
+    n = len(src)
+    nseg = len(parts)
+    out = bytearray()
+    for k, pt in enumerate(parts):
+        s1 = min((k + 1) * seg, n)
+        out += pt["stream"]
+        if pt["has_match"] or k == 0:
+            # the run starting at last_end: ends at the next segment's
+            # first match (post catch-up), else terminal
+            nxt = next((parts[j] for j in range(k + 1, nseg)
+                        if parts[j]["has_match"]), None)
+            run_end = nxt["p1"] if nxt is not None else n
+            mcn = min(nxt["m1"], F.ML_MASK) if nxt is not None else 0
+            out += _lit_header(run_end - pt["last_end"], mcn)
+        out += src[pt["last_end"]:s1]
+    return bytes(out)
+
+
+def compress_dense_seg(src: bytes | bytearray | memoryview,
+                       seg: int = 4096, window: int = 65536,
+                       hashlog: int = 16, acceleration: int = 1,
+                       depth: int = 1) -> bytes:
+    """One-call segmented-parse compress (parts + assembly)."""
+    src = bytes(src)
+    return assemble_seg_parts(
+        src, compress_dense_seg_parts(src, seg, window, hashlog,
+                                      acceleration, depth=depth), seg)
+
+
 def dense_candidates(src: bytes, hashlog: int = 13,
                      val16_filter: bool = True):
     """Pass-1 oracle of the TPU lane-lockstep encoders: the
