@@ -445,7 +445,9 @@ def compress_dense_seg_parts(src: bytes | bytearray | memoryview,
             if n >= 4 else [0] * n
     if depth > 1 and gaps is None:
         gaps = dense_gaps(src, hashlog) if n >= 4 else [0] * n
-    wlim = min(window, F.DISTANCE_MAX)
+    # restricted windows drop a 64-byte guard band so every kernel-side
+    # match/catch-up window read stays inside the per-lane tape
+    wlim = F.DISTANCE_MAX if window >= 65536 else window - 64
 
     def rd32(i: int) -> int:
         return int.from_bytes(src[i:i + 4], "little")

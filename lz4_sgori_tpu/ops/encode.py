@@ -217,7 +217,7 @@ def compress_blocks_device(raw, raw_len, block_size: int,
         if nbp != nb:
             comp, comp_len = comp[:nb], comp_len[:nb]
         return comp, comp_len
-    use_pallas = impl in ("pallas", "scalar") or (
+    use_pallas = impl in ("pallas", "scalar", "seg", "enc3") or (
         impl == "auto" and on_tpu and block_size <= 65536)
     if use_pallas:
         if impl == "scalar":
@@ -230,21 +230,37 @@ def compress_blocks_device(raw, raw_len, block_size: int,
             # (golden.compress_deep, ~0.926x LZ4_compress_default).
             # impl='xla' stays the max-ratio engine (exhaustive depth,
             # ~0.914x, orders of magnitude slower).
-            # Batches above 4 lockstep groups run in slices: at higher
-            # group counts XLA's 16 MB scoped-fusion limit keeps
-            # tripping on the inter-kernel concat/slice pipelines.
+            # Blocks >= 8 KiB on TPU use the SEGMENTED-lane engine
+            # (impl='seg' forces it, impl='enc3' forces block-per-lane):
+            # each block spreads over block_size/4096 lanes with
+            # windowed tape columns, collapsing the banded-walk spans
+            # that bound the block-per-lane parse (docs/Performance.md
+            # round-3 seg section). Byte contract becomes
+            # golden.compress_dense_seg (ratio ~0.991x LZ4 vs 0.989x
+            # for compress_dense on the bench corpus).
             depth = 3 if (match_depth or 1) > 1 else 1
-            MAXB = 512
-            if nbp > MAXB and block_size >= 16384:
-                parts = [compress_blocks_pallas_dispatch(
-                             raw[s:s + MAXB], raw_len[s:s + MAXB],
-                             block_size, acceleration, depth=depth)
-                         for s in range(0, nbp, MAXB)]
-                comp = jnp.concatenate([c for c, _ in parts], axis=0)
-                comp_len = jnp.concatenate([cl for _, cl in parts])
-            else:
-                comp, comp_len = compress_blocks_pallas_dispatch(
+            use_seg = impl == "seg" or (
+                impl == "auto" and on_tpu and 8192 <= block_size <= 65536
+                and block_size % 4096 == 0)
+            if use_seg:
+                comp, comp_len = compress_blocks_seg_dispatch(
                     raw, raw_len, block_size, acceleration, depth=depth)
+            else:
+                # Batches above 4 lockstep groups run in slices: at
+                # higher group counts XLA's 16 MB scoped-fusion limit
+                # keeps tripping on the inter-kernel concat/slice
+                # pipelines.
+                MAXB = 512
+                if nbp > MAXB and block_size >= 16384:
+                    parts = [compress_blocks_pallas_dispatch(
+                                 raw[s:s + MAXB], raw_len[s:s + MAXB],
+                                 block_size, acceleration, depth=depth)
+                             for s in range(0, nbp, MAXB)]
+                    comp = jnp.concatenate([c for c, _ in parts], axis=0)
+                    comp_len = jnp.concatenate([cl for _, cl in parts])
+                else:
+                    comp, comp_len = compress_blocks_pallas_dispatch(
+                        raw, raw_len, block_size, acceleration, depth=depth)
     else:
         if acceleration > 1:
             import warnings
@@ -307,6 +323,23 @@ def _compress_blocks_segmented(raw, raw_len, block_size: int,
         out[b, :len(blob)] = np.frombuffer(blob, np.uint8)
         out_len[b] = len(blob)
     return out, out_len
+
+
+def compress_blocks_seg_dispatch(raw, raw_len, block_size: int,
+                                 acceleration: int = 1, depth: int = 1,
+                                 seg: int = 4096):
+    """TPU segmented-lane engine (enc3 seg mode): blocks spread across
+    block_size/seg lanes, byte-exact to golden.compress_dense_seg.
+
+    err (kernel non-convergence — a bug backstop — or an assembled
+    block past COMPRESSBOUND, the reference's limited-output condition,
+    lz4e_compress.c:358-363) folds into comp_len == 0 for the framing
+    layer's verify/fallback."""
+    from .pallas.lockstep_enc3 import compress_blocks_lockstep_seg
+    comp, comp_len, err = compress_blocks_lockstep_seg(
+        raw, raw_len, block_size, seg=seg, accel=acceleration, depth=depth)
+    comp_len = jnp.where(err, 0, comp_len)
+    return comp, comp_len
 
 
 def compress_blocks_pallas_dispatch(raw, raw_len, block_size: int,
