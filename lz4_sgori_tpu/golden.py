@@ -694,6 +694,84 @@ def dense_gaps(src: bytes, hashlog: int = 16, max_gap: int = 254):
     return out
 
 
+def dense_candidates_piecewise(src: bytes, piece: int = 65536,
+                               hashlog: int = 16, max_gap: int = 254,
+                               with_gaps: bool = False):
+    """Dense candidates for inputs beyond the pos16 sort range — the
+    pass-1 oracle of the TPU big-block seg engine (> 64 KiB blocks).
+
+    The kernel's bitonic-sort pass 1 packs positions into 16 bits
+    (lockstep_enc3.py), so inputs above 64 KiB run pass 1 per PIECE and
+    once more over half-piece-shifted STRADDLE stretches; each pass
+    yields "latest prior same-bucket occurrence within the stretch" and
+    the merge keeps the nearer (most recent) candidate. Cross-piece
+    matches therefore reach at least piece/2 backward everywhere (the
+    reference's own window is 64 KiB, lz4e.h:53-55; positions deep in a
+    piece see the full window within it).
+
+    Returns cand_d (gaps too when with_gaps: chain gaps of the pass
+    that supplied the winning candidate, dense_gaps packing).
+    """
+    n = len(src)
+    cand = [0] * n
+    gaps = [0] * n
+    if n < 4:
+        return (cand, gaps) if with_gaps else cand
+    rd32 = [int.from_bytes(src[i:i + 4], "little") for i in range(n - 3)]
+
+    def one_pass(base: int):
+        table: dict = {}
+        chains: dict = {}
+        for p in range(max(base, 0), min(base + piece, n - 3)):
+            h = F.hash4(rd32[p], hashlog)
+            q = table.get(h)
+            if q is not None:
+                d = p - q
+                if 0 < d <= F.DISTANCE_MAX and (cand[p] == 0
+                                                or d < cand[p]):
+                    cand[p] = d
+                    if with_gaps:
+                        gaps[p] = 0
+                        ch = chains.get(h)
+                        if ch and len(ch) >= 2:
+                            g2 = ch[-1] - ch[-2]
+                            if 1 <= g2 <= max_gap:
+                                v = g2
+                                if len(ch) >= 3:
+                                    g3 = ch[-2] - ch[-3]
+                                    if 1 <= g3 <= max_gap:
+                                        v |= g3 << 8
+                                gaps[p] = v
+            table[h] = p
+            if with_gaps:
+                chains.setdefault(h, []).append(p)
+
+    for b in range(0, n, piece):
+        one_pass(b)
+    for b in range(piece // 2, max(n - 3, 0), piece):
+        one_pass(b)
+    return (cand, gaps) if with_gaps else cand
+
+
+def compress_dense_seg_big(src: bytes | bytearray | memoryview,
+                           seg: int, piece: int = 65536,
+                           hashlog: int = 16, acceleration: int = 1,
+                           depth: int = 1) -> bytes:
+    """One-call segmented compress for blocks > 64 KiB: piecewise
+    candidates + the segmented-lane parse + assembly. The byte oracle
+    of ops/encode.py's big-block TPU path."""
+    src = bytes(src)
+    if depth > 1:
+        cand, gaps = dense_candidates_piecewise(
+            src, piece, hashlog, with_gaps=True)
+    else:
+        cand, gaps = dense_candidates_piecewise(src, piece, hashlog), None
+    parts = compress_dense_seg_parts(
+        src, seg=seg, window=65536, hashlog=hashlog,
+        acceleration=acceleration, cand_d=cand, gaps=gaps, depth=depth)
+    return assemble_seg_parts(src, parts, seg)
+
+
 def compress_deep(src: bytes | bytearray | memoryview,
                   acceleration: int = 1, hashlog: int = 16) -> bytes:
     """Deep-match greedy compress — the byte-exact oracle of the TPU

@@ -210,10 +210,21 @@ def compress_blocks_device(raw, raw_len, block_size: int,
     # CPU backends and match_depth > 1. impl="scalar" forces the round-1
     # scalar-core kernel (the LZ4_compress_fast byte-parity engine).
     on_tpu = jax.default_backend() == "tpu"
-    if impl == "auto" and on_tpu and block_size > 65536 \
-            and (match_depth is None or match_depth <= 1):
-        comp, comp_len = _compress_blocks_segmented(
-            raw, raw_len, block_size, acceleration)
+    if impl == "auto" and on_tpu and block_size > 65536:
+        # blocks beyond the pos16 sort range run the segmented-lane
+        # engine with piecewise pass-1 candidates (matches cross former
+        # splice boundaries through >= a half-piece window; fully
+        # traced/jittable — no host splice). Non-64 KiB-multiple slots
+        # fall back to the standalone-segment splice.
+        seg = _seg_for(block_size)
+        depth = 3 if (match_depth or 1) > 1 else 1
+        if seg is not None:
+            comp, comp_len = compress_blocks_seg_dispatch(
+                raw, raw_len, block_size, acceleration, depth=depth,
+                seg=seg)
+        else:
+            comp, comp_len = _compress_blocks_segmented(
+                raw, raw_len, block_size, acceleration)
         if nbp != nb:
             comp, comp_len = comp[:nb], comp_len[:nb]
         return comp, comp_len
@@ -274,6 +285,21 @@ def compress_blocks_device(raw, raw_len, block_size: int,
     if nbp != nb:
         comp, comp_len = comp[:nb], comp_len[:nb]
     return comp, comp_len
+
+
+def _seg_for(block_size: int) -> int | None:
+    """Segment size for the big-block seg engine: the most lanes per
+    block (<= 128) with seg >= 4 KiB, 128-aligned; None when the slot
+    shape can't satisfy the engine's constraints (then the standalone-
+    segment splice serves it)."""
+    if block_size % 65536:
+        return None
+    for nseg in (128, 64, 32, 16, 8, 4, 2):
+        if block_size % nseg == 0:
+            seg = block_size // nseg
+            if seg % 128 == 0 and seg >= 4096:
+                return seg
+    return None
 
 
 def _compress_blocks_segmented(raw, raw_len, block_size: int,

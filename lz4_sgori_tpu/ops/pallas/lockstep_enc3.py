@@ -1192,6 +1192,80 @@ def _roundup(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _piecewise_cand(rawm, raw_len, block_size: int, depth: int,
+                    interpret: bool):
+    """Pass 1 for blocks beyond the pos16 sort range (> 64 KiB).
+
+    Runs the bitonic cand kernel per 64 KiB PIECE and once more over
+    half-piece-shifted STRADDLE stretches, then merges (most recent
+    candidate wins, ties to the piece pass) — byte contract
+    golden.dense_candidates_piecewise. Returns block-major payload
+    arrays (nb1, block_size) int32: d16 (and gaps when depth > 1).
+
+    rawm (nb1, block_size) u8, zero past raw_len.
+    """
+    PIECE = 65536
+    SUF = 32          # v32 lookahead into the next piece (last 3 pos)
+    nb1 = rawm.shape[0]
+    P = block_size // PIECE
+
+    def run_pass(bases):
+        nbase = len(bases)
+        rawp = jnp.pad(rawm, ((0, 0), (0, SUF)))
+        segs = jnp.stack([rawp[:, b:b + PIECE + SUF] for b in bases],
+                         axis=1).reshape(nb1 * nbase, PIECE + SUF)
+        bl = jnp.asarray(bases, jnp.int32)
+        # valid candidate positions reach PIECE-1 when input continues
+        # past the piece (their v32 reads the suffix)
+        ln = jnp.clip(raw_len[:, None] - bl[None, :], 0,
+                      PIECE + 3).reshape(-1)
+        npr = nb1 * nbase
+        ngp = -(-npr // LANES)
+        pad = ngp * LANES - npr
+        if pad:
+            segs = jnp.pad(segs, ((0, pad), (0, 0)))
+            ln = jnp.pad(ln, (0, pad))
+        g8 = segs.reshape(ngp, LANES, PIECE + SUF)
+        gl = ln.reshape(ngp, LANES)
+        tapes = jnp.stack([LK.pack_tapes(g8[g], gl[g])
+                           for g in range(ngp)])
+        sw = _roundup(max(tapes.shape[1] + 8, PIECE // 4 + 8), BAND)
+        tapes = jnp.pad(tapes, ((0, 0), (0, sw - tapes.shape[1]), (0, 0)))
+        nl = gl.reshape(ngp, 1, LANES)
+        if depth > 1:
+            cand, gaps, _ = _cand_call(tapes, nl, PIECE, interpret,
+                                       depth=depth)
+        else:
+            cand, _ = _cand_call(tapes, nl, PIECE, interpret)
+            gaps = None
+
+        def flat(t):
+            outs = [jax.lax.optimization_barrier((t[g] & 0xFFFF).T)
+                    for g in range(t.shape[0])]
+            return jnp.concatenate(outs, axis=0)[:npr]
+
+        return flat(cand), (flat(gaps) if depth > 1 else None)
+
+    ic, ig = run_pass([k * PIECE for k in range(P)])
+    intra = ic.reshape(nb1, block_size)
+    intra_g = ig.reshape(nb1, block_size) if depth > 1 else None
+    if P < 2:
+        return intra, intra_g
+    sc, sg = run_pass([PIECE // 2 + k * PIECE for k in range(P - 1)])
+    lo, hi = PIECE // 2, PIECE // 2 + (P - 1) * PIECE
+    sfull = jnp.zeros((nb1, block_size), jnp.int32).at[:, lo:hi].set(
+        sc.reshape(nb1, hi - lo))
+    take_s = (sfull != 0) & ((intra == 0) | (sfull < intra))
+    merged = jnp.where(take_s, sfull, intra)
+    if depth > 1:
+        sgf = jnp.zeros((nb1, block_size), jnp.int32).at[:, lo:hi].set(
+            sg.reshape(nb1, hi - lo))
+        merged_g = jnp.where(take_s, sgf, intra_g)
+    else:
+        merged_g = None
+    return merged, merged_g
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block_size", "seg", "window", "accel",
                                     "interpret", "unroll", "wb_band",
@@ -1230,21 +1304,22 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
     limited-output failure (lz4e_compress.c:358-363); the framing
     layer's verify/fallback re-encodes those on the host.
     """
-    if block_size > 65536:
-        raise ValueError("seg engine caps at 64 KiB blocks (pos16 keys)")
     if block_size % seg or LANES % (block_size // seg):
         raise ValueError("seg must divide block_size into a power-of-two "
                          "segment count <= 128")
     if seg % 128:
         raise ValueError("seg must be a multiple of 128")
+    if block_size > 65536 and block_size % 65536:
+        raise ValueError("blocks > 64 KiB must be multiples of 64 KiB "
+                         "(piecewise pass-1 stretches)")
     nseg = block_size // seg
     raw = jnp.asarray(raw, jnp.uint8)
     raw_len = jnp.asarray(raw_len, jnp.int32)
     nb, slot = raw.shape
     assert slot >= block_size
+    big = block_size > 65536
 
-    # ---- pass 1: global per-block candidates (block-per-lane groups) ----
-    np_ = 1 << max(block_size - 1, 1).bit_length()
+    # ---- pass 1 ----
     ng1 = -(-nb // LANES)
     nb1 = ng1 * LANES
     rawm = raw[:, :block_size]
@@ -1253,18 +1328,30 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
     if nb1 != nb:
         rawm = jnp.pad(rawm, ((0, nb1 - nb), (0, 0)))
         raw_len = jnp.pad(raw_len, (0, nb1 - nb))
-    g8 = rawm.reshape(ng1, LANES, block_size)
-    gl = raw_len.reshape(ng1, LANES)
-    tapes1 = jnp.stack([LK.pack_tapes(g8[g], gl[g]) for g in range(ng1)])
-    sw1 = _roundup(max(tapes1.shape[1] + 8, np_ // 4 + 8), BAND)
-    tapes1 = jnp.pad(tapes1, ((0, 0), (0, sw1 - tapes1.shape[1]), (0, 0)))
-    nlane1 = gl.reshape(ng1, 1, LANES)
-    if depth > 1:
-        cand, gaps, _dens = _cand_call(tapes1, nlane1, np_, interpret,
-                                       depth=depth)
+    if big:
+        # blocks beyond the pos16 sort range: piecewise candidates
+        # (64 KiB pieces + half-shifted straddle stretches, merged —
+        # golden.dense_candidates_piecewise)
+        cand_bm, gaps_bm = _piecewise_cand(rawm, raw_len, block_size,
+                                           depth, interpret)
+        cand = gaps = None
     else:
-        cand, _dens = _cand_call(tapes1, nlane1, np_, interpret)
-        gaps = None
+        # global per-block candidates (block-per-lane groups)
+        np_ = 1 << max(block_size - 1, 1).bit_length()
+        g8 = rawm.reshape(ng1, LANES, block_size)
+        gl = raw_len.reshape(ng1, LANES)
+        tapes1 = jnp.stack([LK.pack_tapes(g8[g], gl[g])
+                            for g in range(ng1)])
+        sw1 = _roundup(max(tapes1.shape[1] + 8, np_ // 4 + 8), BAND)
+        tapes1 = jnp.pad(tapes1,
+                         ((0, 0), (0, sw1 - tapes1.shape[1]), (0, 0)))
+        nlane1 = gl.reshape(ng1, 1, LANES)
+        if depth > 1:
+            cand, gaps, _dens = _cand_call(tapes1, nlane1, np_, interpret,
+                                           depth=depth)
+        else:
+            cand, _dens = _cand_call(tapes1, nlane1, np_, interpret)
+            gaps = None
 
     # ---- re-layout candidates to segment lanes ----
     ng2 = ng1 * nseg                 # 128 segments per parse group
@@ -1293,11 +1380,12 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
             sl[:, 0::2, :] | LK.shift_left_u(sl[:, 1::2, :], 16))
 
     if stage == "pass1":
-        s = jnp.sum(cand[:, ::37, :])
+        s = jnp.sum(cand_bm[:, ::37] if big else cand[:, ::37, :])
         return (jnp.zeros((nb, 1), jnp.uint8),
                 s.reshape(1).astype(jnp.int32).repeat(nb),
                 jnp.zeros((nb,), bool))
-    candflat = _flat_rows(cand)
+    candflat = cand_bm.reshape(nb1 * nseg, seg) if big else \
+        _flat_rows(cand)
     # segment cost proxy = candidate-bearing positions: straggler
     # segments share lockstep groups instead of idling whole groups
     # (the block-per-lane engine's density regrouping, per segment)
@@ -1309,8 +1397,12 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
         order = inv = None
     candseg = _group_pack(candflat, order)
     cpr = seg // 2
-    gapseg = _group_pack(_flat_rows(gaps), order) if depth > 1 else \
-        jnp.zeros((ng2, 8, LANES), jnp.int32)
+    if depth > 1:
+        gflat = gaps_bm.reshape(nb1 * nseg, seg) if big else \
+            _flat_rows(gaps)
+        gapseg = _group_pack(gflat, order)
+    else:
+        gapseg = jnp.zeros((ng2, 8, LANES), jnp.int32)
     if stage == "cand":
         s = jnp.sum(candseg[:, ::37, :])
         return (jnp.zeros((nb, 1), jnp.uint8),
@@ -1460,7 +1552,8 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
     remb = jnp.maximum(q, 0) - 255 * nff
     hlen = jnp.where(owner, 1 + jnp.where(q >= 0, nff + 1, 0), 0)
     tokp = (jnp.minimum(lrun, F.RUN_MASK) << F.ML_BITS) | mcn
-    HMAX = 1 + (65536 // 255) + 2                    # 260
+    # a literal run can span every bodiless segment of the block
+    HMAX = 1 + (max(block_size, 65536) // 255) + 2   # 260 at 64 KiB
     hj = jnp.arange(HMAX, dtype=jnp.int32)
     hdr = jnp.where(hj[None, None, :] == 0, tokp[..., None],
           jnp.where(hj[None, None, :] <= nff[..., None], 255,

@@ -159,16 +159,17 @@ def flush_ring(stag, out_ref, g, fl, nfl, OR: int, byte_lim=None,
     jax.lax.fori_loop(b_lo, b_hi, body, 0)
 
 
-def _round(st, stag, fl, served, loc_ref, locb_ref, scr_ref, clen, olen):
+def _round(st, stag, fl, served, loc, locb, scr, clen, olen):
     """Advance every live lane through up to one sequence (ring edition).
 
     fl (1,128): per-lane flushed frontier in rows. Writes clamp to the
     unflushed headroom fl*4 + 4*SR - op (a hard guard; the round wrapper
     flushes before it binds). served (1,128) bool: lanes whose far-match
-    source window sits in scr_ref (loaded by the round wrapper); far
+    source window sits in `scr` (loaded by the round wrapper); far
     lanes not served park in MATCH until the next round's service.
     Refill, far service, and flush all live in the round wrapper so their
-    vector->scalar decisions batch into one sync.
+    vector->scalar decisions batch into one sync. loc/locb/scr are plain
+    VALUES read once per wrapper round (they only change in the wrapper).
     """
     SR = stag.shape[0]
     rspan = SR * 4
@@ -178,13 +179,12 @@ def _round(st, stag, fl, served, loc_ref, locb_ref, scr_ref, clen, olen):
     run = mode < DONE
     head = fl * 4 + rspan - op               # unflushed ring headroom
 
-    loc_b = locb_ref[...]
-    t = ip - loc_b
+    t = ip - locb
     # banded sub-window then a small rotate: funnel() would rotate the
     # whole (LWU,128) window (~0.6 us at LWU=512); this is ~0.15 us.
     # The circular hi-band wrap is harmless: the used rows [t>>2, +EW]
     # never cross the window end (RESERVE covers each sub-step).
-    cw = ring_extract_bytes(loc_ref[...], t, EW)
+    cw = ring_extract_bytes(loc, t, EW)
     b = [_sb(cw, j) for j in range(LSIC_P + 2)]
 
     # ---- phase H: literal header ----
@@ -261,7 +261,7 @@ def _round(st, stag, fl, served, loc_ref, locb_ref, scr_ref, clen, olen):
     src = jnp.where(m_run, op - d, op)
     s_stg = ring_extract_bytes(stag, src & (rspan - 1), CAPW)
     use_far = is_far & served
-    s_com = scr_ref[...]
+    s_com = scr
     # committed bytes end at fl*4 per lane; ring covers the rest
     bnd = byte_mask(CAPW, jnp.zeros_like(src), fl * 4 - src)
     bnd = jnp.where(_bcast(use_far, CAPW), bnd, 0)
@@ -279,19 +279,19 @@ def _round(st, stag, fl, served, loc_ref, locb_ref, scr_ref, clen, olen):
 
 def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
             loc_ref, locb_ref, scr_ref, fl_ref, *, CR: int, OR: int,
-            sr: int, unroll: int = 4, debug_rounds: bool = False,
-            nofar: bool = False):
-    g = 0
-    clen = clen_ref[0]
-    olen = olen_ref[0]
+            sr: int, unroll: int = 4, streams: int = 1,
+            debug_rounds: bool = False, nofar: bool = False):
+    """Decode `streams` independent 128-lane groups in one kernel body.
 
-    z = clen * 0
-    st = dict(mode=z, ip=z, op=z, lit=z, mlen=z, acc=z, ml0=z, d=z,
-              rounds=z)
+    streams > 1 interleaves two (or more) copies of the whole round —
+    reduces, walks, and the state machine — in one instruction stream.
+    The machine is issue-bound on small shapes (docs/Performance.md
+    round-3 ceiling analysis), so a second independent dependency chain
+    fills the stalls of the first; the batched vector->scalar reduce
+    syncs also amortize across streams.
+    """
     # power-of-two local window (the banded parse extract wraps mod LWU)
     LWU = 1 << (LW * unroll - 1).bit_length()
-    locb_ref[...] = z - LWU * 8
-    fl_ref[...] = z
     max_rounds = jnp.int32(4 * (CR + OR) + 2048)
     margin = 2 * CAP * unroll + 8            # max advance between checks
     blog = BAND.bit_length() - 1
@@ -299,92 +299,132 @@ def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
     fhlog = FH.bit_length() - 1
     rspan = sr * 4
 
+    clens, olens, states = [], [], []
+    for s in range(streams):
+        clen = clen_ref[s]
+        olen = olen_ref[s]
+        z = clen * 0
+        st = dict(mode=z, ip=z, op=z, lit=z, mlen=z, acc=z, ml0=z, d=z,
+                  rounds=z)
+        locb_ref[s] = z - LWU * 8
+        fl_ref[s] = z
+        clens.append(clen)
+        olens.append(olen)
+        states.append((st, _bcast(z, sr)))
+
     def cond(c):
-        st, _stag = c
-        return jnp.any(st["mode"] < DONE) & jnp.all(
-            st["rounds"] < max_rounds)
+        alive = None
+        for st, _stag in c:
+            a = jnp.any(st["mode"] < DONE) & jnp.all(
+                st["rounds"] < max_rounds)
+            alive = a if alive is None else (alive | a)
+        return alive
 
     def body(c):
-        st, stag = c
-        fl = fl_ref[...]
-        mode, ip, op, d = st["mode"], st["ip"], st["op"], st["d"]
-        live = mode < DONE
+        # ---- round-start decisions for ALL streams: every
+        # vector->scalar reduce issues back-to-back, so their sync
+        # latencies overlap (a dependent reduce-to-scalar costs ~1 us
+        # each on its own) ----
+        decisions = []
+        for s, (st, _stag) in enumerate(c):
+            fl = fl_ref[s]
+            mode, ip, op, d = st["mode"], st["ip"], st["op"], st["d"]
+            live = mode < DONE
+            t = ip - locb_ref[s]
+            r_need = live & (t > LWU * 4 - unroll * RESERVE)
+            served = live & (mode == MATCH) & (d > rspan)
+            f_need = live & (op + margin > fl * 4 + rspan)
+            packed = jnp.sum(r_need.astype(jnp.int32)
+                             + (served.astype(jnp.int32) << 8)
+                             + (f_need.astype(jnp.int32) << 16))
+            ip_lo = jnp.min(jnp.where(live, ip, BIG))
+            ipc = jnp.where(live, ip, ip_lo)
+            rb_lo = jnp.min(jnp.where(live, ipc, BIG) >> (2 + blog))
+            rb_hi = jnp.max(jnp.where(live, ipc, 0) >> (2 + blog))
+            src_f = jnp.where(served, op - d, BIG)
+            far_lo = jnp.min(src_f)
+            scan_src = jnp.where(served, op - d, far_lo)
+            fb_lo = far_lo >> (2 + fblog)
+            fb_hi = jnp.max(jnp.where(served, op - d, 0)) >> (2 + fblog)
+            opr = op >> 2
+            nfl = jnp.maximum(((opr - fl) >> fhlog) << fhlog, 0)
+            wb_lo = jnp.min(jnp.where(nfl > 0, fl, BIG)) >> blog
+            wb_hi = (jnp.max(jnp.where(nfl > 0, fl + nfl, 0)) + BAND - 1) \
+                >> blog
+            decisions.append(dict(
+                fl=fl, served=served, packed=packed, ipc=ipc,
+                rb=(rb_lo, rb_hi), scan_src=scan_src, fb=(fb_lo, fb_hi),
+                nfl=nfl, wb=(wb_lo, wb_hi)))
 
-        # ---- round-start decisions: every vector->scalar reduce of the
-        # round issues here back-to-back, so their sync latencies overlap
-        # (a dependent reduce-to-scalar costs ~1 us each on its own) ----
-        t = ip - locb_ref[...]
-        r_need = live & (t > LWU * 4 - unroll * RESERVE)
-        served = live & (mode == MATCH) & (d > rspan)
-        f_need = live & (op + margin > fl * 4 + rspan)
-        packed = jnp.sum(r_need.astype(jnp.int32)
-                         + (served.astype(jnp.int32) << 8)
-                         + (f_need.astype(jnp.int32) << 16))
-        ip_lo = jnp.min(jnp.where(live, ip, BIG))
-        ipc = jnp.where(live, ip, ip_lo)
-        rb_lo = jnp.min(jnp.where(live, ipc, BIG) >> (2 + blog))
-        rb_hi = jnp.max(jnp.where(live, ipc, 0) >> (2 + blog))
-        src_f = jnp.where(served, op - d, BIG)
-        far_lo = jnp.min(src_f)
-        scan_src = jnp.where(served, op - d, far_lo)
-        fb_lo = far_lo >> (2 + fblog)
-        fb_hi = jnp.max(jnp.where(served, op - d, 0)) >> (2 + fblog)
-        opr = op >> 2
-        nfl = jnp.maximum(((opr - fl) >> fhlog) << fhlog, 0)
-        wb_lo = jnp.min(jnp.where(nfl > 0, fl, BIG)) >> blog
-        wb_hi = (jnp.max(jnp.where(nfl > 0, fl + nfl, 0)) + BAND - 1) \
-            >> blog
+        out = []
+        for s, (st, stag) in enumerate(c):
+            dec = decisions[s]
+            packed = dec["packed"]
 
-        @pl.when((packed & 255) != 0)
-        def _refill():
-            loc_ref[...] = extract_bytes_banded(
-                comp_ref, g, ipc, LWU, CR, bounds=(rb_lo, rb_hi))
-            locb_ref[...] = ipc
+            @pl.when((packed & 255) != 0)
+            def _refill(s=s, dec=dec):
+                loc_ref[s] = extract_bytes_banded(
+                    comp_ref, s, dec["ipc"], LWU, CR, bounds=dec["rb"])
+                locb_ref[s] = dec["ipc"]
 
-        @pl.when(((packed >> 16) & 255) != 0)
-        def _do_flush():
-            flush_ring(stag, out_ref, g, fl, nfl, OR,
-                       bounds=(wb_lo, wb_hi))
-            fl_ref[...] = fl + nfl
+            @pl.when(((packed >> 16) & 255) != 0)
+            def _do_flush(s=s, dec=dec, stag=stag):
+                flush_ring(stag, out_ref, s, dec["fl"], dec["nfl"], OR,
+                           bounds=dec["wb"])
+                fl_ref[s] = dec["fl"] + dec["nfl"]
 
-        if not nofar:                        # nofar: timing probe only
-            @pl.when(((packed >> 8) & 255) != 0)
-            def _far_read():
-                # runs after the flush: committed bytes below fl*4
-                # include this round's flushed rows. Measured: 256-row
-                # slabs LOSE to 64-row here (16.3 vs 13.2 ms end-to-end)
-                # — wider visits pay more in selects+rotate than they
-                # save in iterations.
-                scr_ref[...] = extract_bytes_banded(
-                    out_ref, g, scan_src, CAPW, OR, bounds=(fb_lo, fb_hi),
-                    band=FBAND)
+            if not nofar:                    # nofar: timing probe only
+                @pl.when(((packed >> 8) & 255) != 0)
+                def _far_read(s=s, dec=dec):
+                    # runs after the flush: committed bytes below fl*4
+                    # include this round's flushed rows. Measured:
+                    # 256-row slabs LOSE to 64-row here (16.3 vs 13.2 ms
+                    # end-to-end) — wider visits pay more in
+                    # selects+rotate than they save in iterations.
+                    scr_ref[s] = extract_bytes_banded(
+                        out_ref, s, dec["scan_src"], CAPW, OR,
+                        bounds=dec["fb"], band=FBAND)
 
-        fl2 = fl_ref[...]
-        none = served != served              # all-false, layout-derived
+        # ---- unrolled sub-rounds, streams interleaved per sub-round so
+        # the scheduler sees independent dependency chains side by side
+        cur = [(st, stag) for (st, stag) in c]
+        vals = [(loc_ref[s], locb_ref[s], scr_ref[s], fl_ref[s])
+                for s in range(streams)]
         for u in range(unroll):
-            st, stag = _round(st, stag, fl2, served if u == 0 else none,
-                              loc_ref, locb_ref, scr_ref, clen, olen)
-        return st, stag
+            for s in range(streams):
+                st, stag = cur[s]
+                loc, locb, scr, fl2 = vals[s]
+                served = decisions[s]["served"]
+                none = served != served      # all-false, layout-derived
+                st, stag = _round(st, stag, fl2,
+                                  served if u == 0 else none,
+                                  loc, locb, scr, clens[s], olens[s])
+                cur[s] = (st, stag)
+        for s in range(streams):
+            out.append(cur[s])
+        return tuple(out)
 
-    st, stag = jax.lax.while_loop(
-        cond, body, (st, _bcast(z, sr)))
+    final = jax.lax.while_loop(cond, body, tuple(states))
 
-    # final flush: rows [fl, OR) per lane, ring bytes below op, zeros past
-    fl = fl_ref[...]
-    flush_ring(stag, out_ref, g, fl, jnp.int32(OR) - fl, OR,
-               byte_lim=st["op"])
-    err = (st["mode"] != DONE).astype(jnp.int32)
-    len_ref[0] = jnp.where(err != 0, 0, st["op"])
-    err_ref[0] = st["rounds"] if debug_rounds else err
+    for s, (st, stag) in enumerate(final):
+        # final flush: rows [fl, OR), ring bytes below op, zeros past
+        fl = fl_ref[s]
+        flush_ring(stag, out_ref, s, fl, jnp.int32(OR) - fl, OR,
+                   byte_lim=st["op"])
+        err = (st["mode"] != DONE).astype(jnp.int32)
+        len_ref[s] = jnp.where(err != 0, 0, st["op"])
+        err_ref[s] = st["rounds"] if debug_rounds else err
 
 
 @functools.partial(jax.jit,
                    static_argnames=("out_size", "sr", "unroll", "interpret",
-                                    "sort", "debug_rounds", "nofar"))
+                                    "sort", "streams", "debug_rounds",
+                                    "nofar"))
 def decompress_blocks_lockstep_v6(comp, comp_len, out_size: int,
                                   sr: int = 512, unroll: int = 4,
                                   interpret: bool = False,
                                   sort: bool = True,
+                                  streams: int = 1,
                                   debug_rounds: bool = False,
                                   nofar: bool = False):
     """Decode a batch of independent LZ4 blocks (v6 ring engine).
@@ -393,6 +433,9 @@ def decompress_blocks_lockstep_v6(comp, comp_len, out_size: int,
     -> (out uint8 [B, out_size], out_len int32 [B], err bool [B]); err
     mirrors golden.decompress's DecodeError cases exactly
     (lz4e_decompress.c:62-460 semantics).
+
+    streams: independent 128-lane groups interleaved per kernel body
+    (issue-bound machine stalls of one stream fill with the other's).
     """
     comp = jnp.asarray(comp, jnp.uint8)
     comp_len = jnp.asarray(comp_len, jnp.int32)
@@ -401,7 +444,7 @@ def decompress_blocks_lockstep_v6(comp, comp_len, out_size: int,
         sr //= 2                             # ring no bigger than ~output
     sr = max(sr, BAND)
     out_cap = -(-max(out_size, 1) // (4 * FBAND)) * (4 * FBAND)
-    ng = -(-nb // LANES)
+    ng = -(-nb // (LANES * streams)) * streams
     pad = ng * LANES - nb
     if pad:
         comp = jnp.pad(comp, ((0, pad), (0, 0)))
@@ -423,19 +466,22 @@ def decompress_blocks_lockstep_v6(comp, comp_len, out_size: int,
     olen = jnp.full((ng, 1, LANES), out_size, jnp.int32)
     clen2 = gl.reshape(ng, 1, LANES)
 
+    S = streams
+    LWU = 1 << (LW * unroll - 1).bit_length()
     out, out_len, err = pl.pallas_call(
         functools.partial(_kernel, CR=cr, OR=orr, sr=sr, unroll=unroll,
-                          debug_rounds=debug_rounds, nofar=nofar),
-        grid=(ng,),
+                          streams=S, debug_rounds=debug_rounds,
+                          nofar=nofar),
+        grid=(ng // S,),
         in_specs=[
-            pl.BlockSpec((1, cr, LANES), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((S, cr, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((S, 1, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((S, 1, LANES), lambda g: (g, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, orr, LANES), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((S, orr, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((S, 1, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((S, 1, LANES), lambda g: (g, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((ng, orr, LANES), jnp.int32),
@@ -443,11 +489,10 @@ def decompress_blocks_lockstep_v6(comp, comp_len, out_size: int,
             jax.ShapeDtypeStruct((ng, 1, LANES), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1 << (LW * unroll - 1).bit_length(), LANES),
-                       jnp.int32),
-            pltpu.VMEM((1, LANES), jnp.int32),
-            pltpu.VMEM((CAPW, LANES), jnp.int32),
-            pltpu.VMEM((1, LANES), jnp.int32),   # flush frontier rows
+            pltpu.VMEM((S, LWU, LANES), jnp.int32),
+            pltpu.VMEM((S, 1, LANES), jnp.int32),
+            pltpu.VMEM((S, CAPW, LANES), jnp.int32),
+            pltpu.VMEM((S, 1, LANES), jnp.int32),   # flush frontier rows
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

@@ -49,6 +49,19 @@ def available() -> bool:
     return _load() is not None
 
 
+def version() -> str:
+    """liblz4 version string (pins the bench baseline's provenance)."""
+    lib = _load()
+    if lib is None:
+        return "unavailable"
+    try:
+        lib.LZ4_versionNumber.restype = ctypes.c_int
+        v = lib.LZ4_versionNumber()
+        return f"{v // 10000}.{(v // 100) % 100}.{v % 100}"
+    except Exception:
+        return "unknown"
+
+
 def compress(data: bytes) -> bytes:
     """LZ4_compress_default via liblz4. Raises RuntimeError if unavailable."""
     lib = _load()

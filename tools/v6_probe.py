@@ -25,10 +25,12 @@ def main():
     sr = int(sys.argv[3]) if len(sys.argv) > 3 else 512
     sort = bool(int(sys.argv[4])) if len(sys.argv) > 4 else True
     unroll = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+    streams = int(os.environ.get("V6_STREAMS", "1"))
     dbg_rounds = bool(int(os.environ.get("V6_ROUNDS", "0")))
     nofar = bool(int(os.environ.get("V6_NOFAR", "0")))
     timing_only = nofar
-    kw = dict(unroll=unroll, debug_rounds=dbg_rounds, nofar=nofar)
+    kw = dict(unroll=unroll, streams=streams, debug_rounds=dbg_rounds,
+              nofar=nofar)
     bs = bs_kib * 1024
     nb = groups * 128
 
