@@ -158,8 +158,12 @@ def main() -> None:
     # lockstep engine grids over 128-block groups internally and its
     # density regrouping needs the full batch) ---
     def run_encode():
-        comp, clen = compress_blocks_device(raw_all, rlen_all, BLOCK_SIZE)
-        return comp, clen, int(jnp.sum(clen))
+        # return_cost: per-block sequence counts, threaded to decode as
+        # its lane-grouping hint (corr 0.9999 with decode rounds)
+        comp, clen, cost = compress_blocks_device(raw_all, rlen_all,
+                                                  BLOCK_SIZE,
+                                                  return_cost=True)
+        return comp, clen, cost, int(jnp.sum(clen))
 
     def launch_encode(n):
         acc = None
@@ -171,7 +175,7 @@ def main() -> None:
         return int(acc)
 
     _log("compiling + warming encode...")
-    comp_dev, clen_dev, comp_total = run_encode()
+    comp_dev, clen_dev, cost_dev, comp_total = run_encode()
     _log("timing encode...")
     t_enc = _time_diff(launch_encode, K=2)
     enc_gbps = len(data) / t_enc / 1e9
@@ -194,14 +198,16 @@ def main() -> None:
 
     def run_decode():
         # decompress_blocks_device auto-selects the lockstep engine on TPU
-        out, ln, e = decompress_blocks_device(comp_all, clen_all, BLOCK_SIZE)
+        out, ln, e = decompress_blocks_device(comp_all, clen_all, BLOCK_SIZE,
+                                              cost_key=cost_dev)
         return out, int(jnp.sum(e)), int(jnp.sum(ln))
 
     def launch_decode(n):
         acc = None
         for _ in range(n):
             out, ln, e = decompress_blocks_device(comp_all, clen_all,
-                                                  BLOCK_SIZE)
+                                                  BLOCK_SIZE,
+                                                  cost_key=cost_dev)
             s = jnp.sum(ln) + jnp.sum(e) + jnp.sum(out[0, :8].astype(
                 jnp.int32))
             acc = s if acc is None else acc + s
@@ -285,11 +291,14 @@ def main() -> None:
         comp_g = comp_all[:nb_g]
         clen_g = clen_all[:nb_g]
 
-        def launch_g(n, comp_g=comp_g, clen_g=clen_g):
+        cost_g = cost_dev[:nb_g]
+
+        def launch_g(n, comp_g=comp_g, clen_g=clen_g, cost_g=cost_g):
             acc = None
             for _ in range(n):
                 out, ln, e = decompress_blocks_device(comp_g, clen_g,
-                                                      BLOCK_SIZE)
+                                                      BLOCK_SIZE,
+                                                      cost_key=cost_g)
                 s = jnp.sum(ln) + jnp.sum(e)
                 acc = s if acc is None else acc + s
             return int(acc)

@@ -170,7 +170,8 @@ def _backward_runs(b, prev):
 
 def compress_blocks_device(raw, raw_len, block_size: int,
                            match_depth: int | None = None,
-                           impl: str = "auto", acceleration: int = 1):
+                           impl: str = "auto", acceleration: int = 1,
+                           return_cost: bool = False):
     """Batch-bucketing wrapper around the device encode: pads the block
     count to the next power of two (with empty blocks) so recurring calls
     hit a small set of compiled shapes, then trims.
@@ -218,19 +219,23 @@ def compress_blocks_device(raw, raw_len, block_size: int,
         # fall back to the standalone-segment splice.
         seg = _seg_for(block_size)
         depth = 3 if (match_depth or 1) > 1 else 1
+        cost = None
         if seg is not None:
-            comp, comp_len = compress_blocks_seg_dispatch(
+            comp, comp_len, cost = compress_blocks_seg_dispatch(
                 raw, raw_len, block_size, acceleration, depth=depth,
-                seg=seg)
+                seg=seg, return_nseq=True)
         else:
             comp, comp_len = _compress_blocks_segmented(
                 raw, raw_len, block_size, acceleration)
+        if cost is None:
+            cost = comp_len
         if nbp != nb:
-            comp, comp_len = comp[:nb], comp_len[:nb]
-        return comp, comp_len
+            comp, comp_len, cost = comp[:nb], comp_len[:nb], cost[:nb]
+        return (comp, comp_len, cost) if return_cost else (comp, comp_len)
     use_pallas = impl in ("pallas", "scalar", "seg", "enc3") or (
         impl == "auto" and on_tpu and block_size <= 65536)
     if use_pallas:
+        cost = None
         if impl == "scalar":
             from .pallas.encode_kernel import compress_blocks_pallas
             comp, comp_len = compress_blocks_pallas(
@@ -254,8 +259,9 @@ def compress_blocks_device(raw, raw_len, block_size: int,
                 impl == "auto" and on_tpu and 8192 <= block_size <= 65536
                 and block_size % 4096 == 0)
             if use_seg:
-                comp, comp_len = compress_blocks_seg_dispatch(
-                    raw, raw_len, block_size, acceleration, depth=depth)
+                comp, comp_len, cost = compress_blocks_seg_dispatch(
+                    raw, raw_len, block_size, acceleration, depth=depth,
+                    return_nseq=True)
             else:
                 # Batches above 4 lockstep groups run in slices: at
                 # higher group counts XLA's 16 MB scoped-fusion limit
@@ -265,13 +271,17 @@ def compress_blocks_device(raw, raw_len, block_size: int,
                 if nbp > MAXB and block_size >= 16384:
                     parts = [compress_blocks_pallas_dispatch(
                                  raw[s:s + MAXB], raw_len[s:s + MAXB],
-                                 block_size, acceleration, depth=depth)
+                                 block_size, acceleration, depth=depth,
+                                 return_nseq=True)
                              for s in range(0, nbp, MAXB)]
-                    comp = jnp.concatenate([c for c, _ in parts], axis=0)
-                    comp_len = jnp.concatenate([cl for _, cl in parts])
+                    comp = jnp.concatenate([c for c, _, _ in parts],
+                                           axis=0)
+                    comp_len = jnp.concatenate([cl for _, cl, _ in parts])
+                    cost = jnp.concatenate([cs for _, _, cs in parts])
                 else:
-                    comp, comp_len = compress_blocks_pallas_dispatch(
-                        raw, raw_len, block_size, acceleration, depth=depth)
+                    comp, comp_len, cost = compress_blocks_pallas_dispatch(
+                        raw, raw_len, block_size, acceleration,
+                        depth=depth, return_nseq=True)
     else:
         if acceleration > 1:
             import warnings
@@ -280,11 +290,14 @@ def compress_blocks_device(raw, raw_len, block_size: int,
                 "path; the exhaustive engine evaluates every position and "
                 "ignores it.", stacklevel=2)
         depth = 3 if match_depth is None else match_depth
+        cost = None
         comp, comp_len = _compress_blocks_impl(raw, raw_len, block_size,
                                                depth)
+    if cost is None:
+        cost = comp_len
     if nbp != nb:
-        comp, comp_len = comp[:nb], comp_len[:nb]
-    return comp, comp_len
+        comp, comp_len, cost = comp[:nb], comp_len[:nb], cost[:nb]
+    return (comp, comp_len, cost) if return_cost else (comp, comp_len)
 
 
 def _seg_for(block_size: int) -> int | None:
@@ -353,7 +366,8 @@ def _compress_blocks_segmented(raw, raw_len, block_size: int,
 
 def compress_blocks_seg_dispatch(raw, raw_len, block_size: int,
                                  acceleration: int = 1, depth: int = 1,
-                                 seg: int = 4096):
+                                 seg: int = 4096,
+                                 return_nseq: bool = False):
     """TPU segmented-lane engine (enc3 seg mode): blocks spread across
     block_size/seg lanes, byte-exact to golden.compress_dense_seg.
 
@@ -362,6 +376,12 @@ def compress_blocks_seg_dispatch(raw, raw_len, block_size: int,
     lz4e_compress.c:358-363) folds into comp_len == 0 for the framing
     layer's verify/fallback."""
     from .pallas.lockstep_enc3 import compress_blocks_lockstep_seg
+    if return_nseq:
+        comp, comp_len, err, nseq = compress_blocks_lockstep_seg(
+            raw, raw_len, block_size, seg=seg, accel=acceleration,
+            depth=depth, return_nseq=True)
+        comp_len = jnp.where(err, 0, comp_len)
+        return comp, comp_len, nseq
     comp, comp_len, err = compress_blocks_lockstep_seg(
         raw, raw_len, block_size, seg=seg, accel=acceleration, depth=depth)
     comp_len = jnp.where(err, 0, comp_len)
@@ -370,7 +390,8 @@ def compress_blocks_seg_dispatch(raw, raw_len, block_size: int,
 
 def compress_blocks_pallas_dispatch(raw, raw_len, block_size: int,
                                     acceleration: int = 1,
-                                    depth: int = 1):
+                                    depth: int = 1,
+                                    return_nseq: bool = False):
     """Indirection point for the TPU kernel path (lets tests monkeypatch
     and keeps the lazy import in one place).
 
@@ -381,6 +402,12 @@ def compress_blocks_pallas_dispatch(raw, raw_len, block_size: int,
     (blocks.py fallback), so the bit-exact contract survives even a
     kernel defect."""
     from .pallas.lockstep_enc3 import compress_blocks_lockstep_enc3
+    if return_nseq:
+        comp, comp_len, err, nseq = compress_blocks_lockstep_enc3(
+            raw, raw_len, block_size, accel=acceleration, depth=depth,
+            return_nseq=True)
+        comp_len = jnp.where(err, 0, comp_len)
+        return comp, comp_len, nseq
     comp, comp_len, err = compress_blocks_lockstep_enc3(
         raw, raw_len, block_size, accel=acceleration, depth=depth)
     comp_len = jnp.where(err, 0, comp_len)

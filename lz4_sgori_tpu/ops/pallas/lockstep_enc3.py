@@ -739,7 +739,9 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
 
     st2 = dict(mode=mode, pos=pos, fpos=fpos, step=step, smn=smn,
                anchor=anchor, mpos=mpos, mc=mc, lit=lit, d=d, opos=opos,
-               hk=hk, ldone=ldone, tpos=tpos, rounds=st["rounds"] + 1)
+               hk=hk, ldone=ldone, tpos=tpos,
+               nseq=st["nseq"] + seq_end.astype(jnp.int32),
+               rounds=st["rounds"] + 1)
     if seg_lims is not None:
         # first-sequence record for the host assembly: p1 = match start
         # (post catch-up, pre-advance), m1 = its match code
@@ -756,7 +758,7 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
 
 
 def _parse_kernel(src_ref, cand_ref, gaps_ref, n_ref, out_ref, len_ref,
-                  err_ref, tl_ref, *rest,
+                  err_ref, tl_ref, ns_ref, *rest,
                   SW: int, CPR: int, OR: int, accel: int, unroll: int = 2,
                   wb_band: int = 64, depth: int = 1, seg_w: int = 0,
                   far_every: int = 0, near_lim: int = 4096,
@@ -787,7 +789,7 @@ def _parse_kernel(src_ref, cand_ref, gaps_ref, n_ref, out_ref, len_ref,
                   pos=pos0, fpos=pos0, step=z + 1,
                   smn=z + (accel << F.SKIPTRIGGER),
                   anchor=z + seg_w, mpos=z, mc=z, lit=z, d=z, opos=z,
-                  hk=z, ldone=z, tpos=z, rounds=z,
+                  hk=z, ldone=z, tpos=z, nseq=z, rounds=z,
                   p1=z, m1=z, hasm=z, frag=(bf == 0).astype(jnp.int32))
     else:
         n = n_ref[0]
@@ -798,7 +800,7 @@ def _parse_kernel(src_ref, cand_ref, gaps_ref, n_ref, out_ref, len_ref,
                   pos=z + 1, fpos=z + 1, step=z + 1,
                   smn=z + (accel << F.SKIPTRIGGER),
                   anchor=z, mpos=z, mc=z, lit=z, d=z, opos=z,
-                  hk=z, ldone=z, tpos=z, rounds=z)
+                  hk=z, ldone=z, tpos=z, nseq=z, rounds=z)
     if depth > 1:
         st["gp"] = z
         st["dnx"] = z
@@ -976,6 +978,7 @@ def _parse_kernel(src_ref, cand_ref, gaps_ref, n_ref, out_ref, len_ref,
     err = (st["mode"] != DONE).astype(jnp.int32)
     len_ref[0] = jnp.where(err != 0, 0, st["opos"])
     err_ref[0] = st["rounds"] if debug_rounds else err
+    ns_ref[0] = st["nseq"]                       # decode-cost hint
     if seg_w:
         tl_ref[0] = st["anchor"]                 # last_end (local)
         p1_ref[0] = st["p1"]
@@ -1022,7 +1025,8 @@ def _permute_blocks(x, order, chunk: int = 2048):
                    static_argnames=("block_size", "accel", "interpret",
                                     "group_sort", "unroll", "debug_rounds",
                                     "debug_modes", "cand_only",
-                                    "return_tails", "wb_band", "depth"))
+                                    "return_tails", "return_nseq",
+                                    "wb_band", "depth"))
 def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
                                   accel: int = 1,
                                   interpret: bool = False,
@@ -1032,6 +1036,7 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
                                   debug_modes: bool = False,
                                   cand_only: bool = False,
                                   return_tails: bool = False,
+                                  return_nseq: bool = False,
                                   wb_band: int = 64,
                                   depth: int = 1):
     """Compress a batch of independent LZ4 blocks (v3 sort engine).
@@ -1127,9 +1132,11 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
             pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((grid_ng, orr, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((grid_ng, 1, LANES), jnp.int32),
             jax.ShapeDtypeStruct((grid_ng, 1, LANES), jnp.int32),
             jax.ShapeDtypeStruct((grid_ng, 1, LANES), jnp.int32),
             jax.ShapeDtypeStruct((grid_ng, 1, LANES), jnp.int32),
@@ -1152,7 +1159,8 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
             vmem_limit_bytes=110 * 1024 * 1024),
     )
     if grid_ng == ng:
-        out, out_len, err, tails = parse_call(tapes, cand, gaps, nlane)
+        out, out_len, err, tails, nseq = parse_call(tapes, cand, gaps,
+                                                    nlane)
     else:
         # one invocation per group: a multi-group grid double-buffers the
         # 32 MB cand input window and blows VMEM
@@ -1164,22 +1172,28 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
         out_len = jnp.concatenate([p[1] for p in parts], axis=0)
         err = jnp.concatenate([p[2] for p in parts], axis=0)
         tails = jnp.concatenate([p[3] for p in parts], axis=0)
+        nseq = jnp.concatenate([p[4] for p in parts], axis=0)
 
     data = jnp.concatenate(
         [LK.unpack_tapes(out[g]) for g in range(ng)], axis=0)
     out_len = out_len.reshape(-1)
     err = err.reshape(-1)
     tails = tails.reshape(-1)
+    nseq = nseq.reshape(-1)
     if group_sort and ng > 1:
         data = jax.lax.optimization_barrier(data)[inv]
         out_len = out_len[inv]
         err = err[inv]
         tails = tails[inv]
+        nseq = nseq[inv]
     if debug_rounds or debug_modes:
         return data[:nb, :bound], out_len[:nb], err[:nb]
     if return_tails:
         return (data[:nb, :bound], out_len[:nb], err[:nb].astype(bool),
                 tails[:nb])
+    if return_nseq:
+        return (data[:nb, :bound], out_len[:nb], err[:nb].astype(bool),
+                nseq[:nb])
     return data[:nb, :bound], out_len[:nb], err[:nb].astype(bool)
 
 
@@ -1270,7 +1284,8 @@ def _piecewise_cand(rawm, raw_len, block_size: int, depth: int,
                    static_argnames=("block_size", "seg", "window", "accel",
                                     "interpret", "unroll", "wb_band",
                                     "depth", "debug_rounds", "stage",
-                                    "far_every", "near_lim"))
+                                    "far_every", "near_lim",
+                                    "return_nseq"))
 def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
                                  seg: int = 4096, window: int = 65536,
                                  accel: int = 1, interpret: bool = False,
@@ -1280,7 +1295,8 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
                                  stage: str = "all",
                                  far_every: int = 0,
                                  near_lim: int = 4096,
-                                 group_sort: bool = True):
+                                 group_sort: bool = True,
+                                 return_nseq: bool = False):
     """Segment-parallel block compress (the enc3 seg engine).
 
     Each block is cut into `seg`-byte segments parsed by SEPARATE lanes
@@ -1477,10 +1493,10 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
         ],
         out_specs=[pl.BlockSpec((1, orr, LANES), lambda g: (g, 0, 0))] + [
             pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0))
-            for _ in range(5)],
+            for _ in range(6)],
         out_shape=[jax.ShapeDtypeStruct((grid_ng, orr, LANES), jnp.int32)] +
         [jax.ShapeDtypeStruct((grid_ng, 1, LANES), jnp.int32)
-         for _ in range(5)],
+         for _ in range(6)],
         scratch_shapes=[
             pltpu.VMEM((LCP, LANES), jnp.int32),       # cand window
             pltpu.VMEM((1, LANES), jnp.int32),         # cand window base
@@ -1506,8 +1522,8 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
                  for g in range(ng2)]
         outs = tuple(jax.lax.optimization_barrier(
             jnp.concatenate([p[i] for p in parts], axis=0))
-            for i in range(6))
-    out, slen, serr, le_l, p1_l, m1h = outs
+            for i in range(7))
+    out, slen, serr, le_l, ns_l, p1_l, m1h = outs
     if stage == "parse":                 # timing probe: stop after kernel
         s = jnp.sum(out[:, ::37, :]) + jnp.sum(slen) + jnp.sum(serr)
         return (jnp.zeros((nb, 1), jnp.uint8),
@@ -1520,6 +1536,7 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
     slen = slen.reshape(-1)[inv]
     serr = serr.reshape(-1)[inv]
     le_l = le_l.reshape(-1)[inv]
+    ns_l = ns_l.reshape(-1)[inv]
     p1_l = p1_l.reshape(-1)[inv]
     m1h = m1h.reshape(-1)[inv]
 
@@ -1597,4 +1614,7 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
     err_b = (jnp.max(serr.reshape(nb1, nseg), axis=1) != 0) \
         | (out_len > bound)
     out_len = jnp.where(err_b, 0, out_len)
+    if return_nseq:
+        nseq_b = jnp.sum(ns_l.reshape(nb1, nseg), axis=1)
+        return (data[:nb, :bound], out_len[:nb], err_b[:nb], nseq_b[:nb])
     return (data[:nb, :bound], out_len[:nb], err_b[:nb])

@@ -280,7 +280,8 @@ def _round(st, stag, fl, served, loc, locb, scr, clen, olen):
 def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
             loc_ref, locb_ref, scr_ref, fl_ref, *, CR: int, OR: int,
             sr: int, unroll: int = 4, streams: int = 1,
-            debug_rounds: bool = False, nofar: bool = False):
+            debug_rounds: bool = False, nofar: bool = False,
+            noflush: bool = False):
     """Decode `streams` independent 128-lane groups in one kernel body.
 
     streams > 1 interleaves two (or more) copies of the whole round —
@@ -369,8 +370,9 @@ def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
 
             @pl.when(((packed >> 16) & 255) != 0)
             def _do_flush(s=s, dec=dec, stag=stag):
-                flush_ring(stag, out_ref, s, dec["fl"], dec["nfl"], OR,
-                           bounds=dec["wb"])
+                if not noflush:              # noflush: timing probe only
+                    flush_ring(stag, out_ref, s, dec["fl"], dec["nfl"],
+                               OR, bounds=dec["wb"])
                 fl_ref[s] = dec["fl"] + dec["nfl"]
 
             if not nofar:                    # nofar: timing probe only
@@ -419,14 +421,16 @@ def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
 @functools.partial(jax.jit,
                    static_argnames=("out_size", "sr", "unroll", "interpret",
                                     "sort", "streams", "debug_rounds",
-                                    "nofar"))
+                                    "nofar", "noflush"))
 def decompress_blocks_lockstep_v6(comp, comp_len, out_size: int,
                                   sr: int = 512, unroll: int = 4,
                                   interpret: bool = False,
                                   sort: bool = True,
+                                  sort_key=None,
                                   streams: int = 1,
                                   debug_rounds: bool = False,
-                                  nofar: bool = False):
+                                  nofar: bool = False,
+                                  noflush: bool = False):
     """Decode a batch of independent LZ4 blocks (v6 ring engine).
 
     comp uint8 [B, slot] zero-padded, comp_len int32 [B], static out_size
@@ -451,7 +455,11 @@ def decompress_blocks_lockstep_v6(comp, comp_len, out_size: int,
         comp_len = jnp.pad(comp_len, (0, pad), constant_values=1)
         comp = comp.at[nb:, 0].set(0)
     if sort and ng > 1:
-        order = jnp.argsort(comp_len)
+        key = comp_len if sort_key is None else \
+            jnp.asarray(sort_key, jnp.int32)
+        if sort_key is not None and pad:
+            key = jnp.pad(key, (0, pad))
+        order = jnp.argsort(key)
         inv = jnp.argsort(order)
         comp = comp[order]
         comp_len = comp_len[order]
@@ -471,7 +479,7 @@ def decompress_blocks_lockstep_v6(comp, comp_len, out_size: int,
     out, out_len, err = pl.pallas_call(
         functools.partial(_kernel, CR=cr, OR=orr, sr=sr, unroll=unroll,
                           streams=S, debug_rounds=debug_rounds,
-                          nofar=nofar),
+                          nofar=nofar, noflush=noflush),
         grid=(ng // S,),
         in_specs=[
             pl.BlockSpec((S, cr, LANES), lambda g: (g, 0, 0)),

@@ -63,13 +63,16 @@ def test_match_depth_selects_deep_kernel(monkeypatch, fixtures):
 
     calls = {}
 
-    def fake_dispatch(raw, raw_len, block_size, acceleration=1, depth=1):
+    def fake_dispatch(raw, raw_len, block_size, acceleration=1, depth=1,
+                      return_nseq=False):
         calls["depth"] = depth
         from lz4_sgori_tpu.ops.pallas.lockstep_enc3 import \
             compress_blocks_lockstep_enc3
         comp, clen, err = compress_blocks_lockstep_enc3(
             raw, raw_len, block_size, accel=acceleration,
             interpret=True, depth=depth)
+        if return_nseq:
+            return comp, clen, clen
         return comp, clen
 
     monkeypatch.setattr(E, "compress_blocks_pallas_dispatch", fake_dispatch)

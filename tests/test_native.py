@@ -66,3 +66,40 @@ def test_fuzz_parity_small_inputs():
         c = native.compress(data)
         assert g == c, f"trial {trial} n={n}"
         assert native.decompress(c, max(1, n)) == data
+
+
+def test_fuzz_malformed_at_scale():
+    """4096 corrupted streams through the native C decoder: strict
+    bidirectional error equivalence with golden.decompress (and byte
+    equality on acceptance) — the host-side arm of the round-4 scaled
+    adversarial fuzz (the TPU arm lives in test_tpu_compiled.py)."""
+    from tests.test_tpu_compiled import make_mutants
+
+    rng = np.random.default_rng(0xBEEF)
+    fix = [
+        b"the quick brown fox jumps over the lazy dog " * 40,
+        bytes(2048),
+        bytes(range(256)) * 8,
+        rng.integers(0, 256, 2048, dtype=np.uint8).tobytes(),
+    ]
+    bases = [golden.compress(d[:2048]) for d in fix]
+    muts = make_mutants(bases, rng, 4096, 4096)
+    n_acc = n_rej = 0
+    for j, m in enumerate(muts):
+        try:
+            want = golden.decompress(m, 2048)
+            ok_ref = True
+        except ValueError:
+            ok_ref = False
+        try:
+            got = native.decompress(m, 2048)
+            ok_nat = True
+        except ValueError:
+            ok_nat = False
+        assert ok_nat == ok_ref, f"mutant {j}"
+        if ok_ref:
+            n_acc += 1
+            assert got == want, f"mutant {j}"
+        else:
+            n_rej += 1
+    assert n_acc >= 128 and n_rej >= 1024, (n_acc, n_rej)

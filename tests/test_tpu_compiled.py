@@ -126,6 +126,80 @@ def _mutate(comp: bytes, rng) -> bytes:
     return bytes(b)
 
 
+def make_mutants(bases, rng, count: int, slot: int):
+    """`count` corrupted/adversarial streams (round-4 scaled fuzz pool):
+    single-point mutations plus bit flips, mid-stream surgery, stream
+    splices, and pure-noise streams, all clipped to `slot`."""
+    muts = []
+    while len(muts) < count:
+        base = bytearray(bases[int(rng.integers(0, len(bases)))])
+        mode = int(rng.integers(0, 10))
+        if mode < 5:
+            m = _mutate(bytes(base), rng)
+        elif mode == 5 and len(base) > 1:  # single bit flip
+            i = int(rng.integers(0, len(base)))
+            base[i] ^= 1 << int(rng.integers(0, 8))
+            m = bytes(base)
+        elif mode == 6 and len(base) > 8:  # mid-stream LSIC injection
+            i = int(rng.integers(1, len(base) - 1))
+            m = bytes(base[:i]) + b"\xff" * int(rng.integers(1, 32)) \
+                + bytes(base[i:])
+        elif mode == 7:                    # splice two streams
+            other = bases[int(rng.integers(0, len(bases)))]
+            i = int(rng.integers(0, len(base)))
+            j = int(rng.integers(0, len(other)))
+            m = bytes(base[:i]) + bytes(other[j:])
+        elif mode == 8:                    # pure noise
+            m = bytes(rng.integers(0, 256, size=int(rng.integers(1, 512)),
+                                   dtype=np.uint8))
+        else:                              # offset surgery mid-stream
+            i = int(rng.integers(0, max(1, len(base) - 2)))
+            base[i:i + 2] = int(rng.integers(0, 65536)).to_bytes(2, "little")
+            m = bytes(base)
+        if len(m) == 0:
+            m = b"\x00"
+        muts.append(m[:slot])
+    return muts
+
+
+def test_compiled_v6_fuzz_at_scale(fixtures):
+    """2048 corrupted streams through the compiled v6 decoder in one
+    batch (16 lockstep groups): STRICT bidirectional err equivalence
+    with golden.decompress — every kernel-accepted stream must match
+    golden's bytes, and every golden-accepted stream must be accepted
+    (the round-3 verdict item 8 scale-up). liblz4 acceptance is checked
+    as a third implementation where available."""
+    from lz4_sgori_tpu.utils import oracle
+
+    rng = np.random.default_rng(0xC0FFEE)
+    bases = [bytes(golden.compress(fixtures[n][:BS]))
+             for n in ("text_small", "zeros_4k", "rle_period3",
+                       "random_4k", "structured", "mixed")]
+    slot = F.compress_bound(BS) + 8
+    muts = make_mutants(bases, rng, 2048, slot)
+    comp, clen = _pack(muts, slot)
+    out, olen, err = _v6(comp, clen, BS)
+    n_acc = n_rej = 0
+    for j, m in enumerate(muts):
+        try:
+            want = golden.decompress(m, BS)
+            ok_ref = True
+        except ValueError:
+            ok_ref = False
+        assert bool(err[j]) == (not ok_ref), \
+            f"mutant {j}: kernel err={bool(err[j])} golden ok={ok_ref}"
+        if ok_ref:
+            n_acc += 1
+            assert olen[j] == len(want), j
+            assert out[j, :olen[j]].tobytes() == want, j
+            if oracle.available():
+                assert oracle.decompress(m, BS) == want, j
+        else:
+            n_rej += 1
+    # the pool must exercise both verdicts heavily
+    assert n_acc >= 64 and n_rej >= 512, (n_acc, n_rej)
+
+
 def test_compiled_v6_malformed_fuzz(fixtures):
     """Compiled v6 on corrupt streams: must flag err or decode to exactly
     what the golden safe decoder produces — never crash the worker,
@@ -188,6 +262,45 @@ def test_compiled_escape_hatch_kernels(fixtures):
     for j, data in enumerate(raws):
         assert bytes(comp[j, :clen[j]]) == bytes(golden.compress(data))
         assert not err[j] and out[j, :olen[j]].tobytes() == data
+
+
+def test_compiled_v6_streams_parity(fixtures):
+    """streams=2 (two interleaved lockstep groups per kernel body) must
+    be byte-identical to streams=1 semantics on compiled hardware."""
+    from lz4_sgori_tpu.ops.pallas.lockstep_v6 import (
+        decompress_blocks_lockstep_v6)
+
+    bs = 16384
+    base = (fixtures["mixed"] * ((bs // len(fixtures["mixed"])) + 1))
+    raws = [base[k:k + bs] for k in range(0, 256 * 61, 61)][:256]
+    comps = [bytes(golden.compress(d)) for d in raws]
+    slot = F.compress_bound(bs) + 8
+    comp, clen = _pack(comps, slot)
+    out, olen, err = decompress_blocks_lockstep_v6(comp, clen, bs,
+                                                   streams=2)
+    out, olen, err = np.asarray(out), np.asarray(olen), np.asarray(err)
+    for j, data in enumerate(raws):
+        assert not err[j] and olen[j] == len(data), j
+        assert out[j, :olen[j]].tobytes() == data, j
+
+
+def test_compiled_seg_big_block(fixtures):
+    """>64 KiB blocks on the seg engine (piecewise candidates): byte
+    parity vs golden.compress_dense_seg_big at 128 KiB, fully on-device
+    (the round-3 jittability + large-block-ratio items)."""
+    from lz4_sgori_tpu.ops.pallas.lockstep_enc3 import (
+        compress_blocks_lockstep_seg)
+
+    bs = 131072
+    data = (fixtures["mixed"] * ((bs // len(fixtures["mixed"])) + 1))[:bs]
+    data2 = data[:bs - 777]
+    raw, rlen = _pack([data, data2], bs)
+    comp, clen, err = compress_blocks_lockstep_seg(raw, rlen, bs, seg=4096)
+    comp, clen, err = np.asarray(comp), np.asarray(clen), np.asarray(err)
+    for j, d in enumerate([data, data2]):
+        assert not err[j], j
+        want = golden.compress_dense_seg_big(d, seg=4096)
+        assert comp[j, :clen[j]].tobytes() == want, j
 
 
 def test_compiled_enc3_deep_parity(fixtures):

@@ -28,17 +28,24 @@ def main():
     streams = int(os.environ.get("V6_STREAMS", "1"))
     dbg_rounds = bool(int(os.environ.get("V6_ROUNDS", "0")))
     nofar = bool(int(os.environ.get("V6_NOFAR", "0")))
-    timing_only = nofar
+    noflush = bool(int(os.environ.get("V6_NOFLUSH", "0")))
+    timing_only = nofar or noflush
     kw = dict(unroll=unroll, streams=streams, debug_rounds=dbg_rounds,
-              nofar=nofar)
+              nofar=nofar, noflush=noflush)
     bs = bs_kib * 1024
     nb = groups * 128
 
     from __graft_entry__ import _synth_corpus
     from lz4_sgori_tpu import native
     from lz4_sgori_tpu.blocks import split_blocks
-    from lz4_sgori_tpu.ops.pallas.lockstep_v6 import (
-        decompress_blocks_lockstep_v6)
+    if os.environ.get("V6_ENGINE") == "v7":
+        from lz4_sgori_tpu.ops.pallas.lockstep_v7 import (
+            decompress_blocks_lockstep_v7 as decompress_blocks_lockstep_v6)
+        kw.pop("streams", None)
+        kw["transfers"] = int(os.environ.get("V7_TRANSFERS", "2"))
+    else:
+        from lz4_sgori_tpu.ops.pallas.lockstep_v6 import (
+            decompress_blocks_lockstep_v6)
 
     if os.environ.get("V6_SAME") == "1":
         # all lanes decode the SAME block: cross-lane walk spans collapse,
