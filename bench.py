@@ -503,6 +503,27 @@ def main() -> None:
     _log(f"config 6: 1 MiB-block encode {enc6_gbps:.4f} GB/s, "
          f"ratio {len(data6) / total6:.3f}, size vs lz4 {big_vs_lz4}")
 
+    # 1 MiB decode on the v8 HBM-tape kernel (the round-3 verdict's
+    # "publish a >= 1 MiB decode GB/s row")
+    comp6p = jnp.pad(comp6, ((0, 0), (0, 8)))
+
+    def launch_dec6(n):
+        acc = None
+        for _ in range(n):
+            out, ln, e = decompress_blocks_device(comp6p, clen6, bs6)
+            s = jnp.sum(ln) + jnp.sum(e)
+            acc = s if acc is None else acc + s
+        return int(acc)
+
+    _log("config 6: compiling 1 MiB decode (v8)...")
+    out6, ln6, e6 = decompress_blocks_device(comp6p, clen6, bs6)
+    assert int(jnp.sum(e6)) == 0, "1 MiB decode errors"
+    valid6 = jnp.arange(bs6)[None, :] < rlen6[:, None]
+    assert int(jnp.sum(jnp.where(valid6, out6 != raw6, False))) == 0
+    t_dec6 = _time_diff(launch_dec6, K=2)
+    dec6_gbps = len(data6) / t_dec6 / 1e9
+    _log(f"config 6: 1 MiB-block decode {dec6_gbps:.4f} GB/s")
+
     vs_baseline = (dec_gbps / base_dec_gbps) if base_dec_gbps else None
     print(json.dumps({
         "metric": "decompress_gbps_silesia_like_64k_blocks",
@@ -539,6 +560,7 @@ def main() -> None:
                          if hbm_peak else None),
         "decode_scaling_gbps": scaling,
         "big_1m_encode_gbps": round(enc6_gbps, 4),
+        "big_1m_decode_gbps": round(dec6_gbps, 4),
         "big_1m_ratio": round(len(data6) / total6, 4),
         "big_1m_size_vs_lz4": (round(big_vs_lz4, 4)
                                if big_vs_lz4 else None),

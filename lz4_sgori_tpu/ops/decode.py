@@ -125,9 +125,10 @@ def decompress_blocks_device(comp, comp_len, out_size: int,
 
     impl: "auto" picks the lane-lockstep hot-ring Pallas engine (v7) on
     a TPU backend (128 blocks per grid cell) and the portable XLA
-    program elsewhere; "lockstep"/"lockstep_v6"/"lockstep_v4"/"pallas"/
-    "xla" force an engine ("pallas" is the round-1 scalar-core kernel,
-    v4/v6 the earlier lockstep generations, kept for comparison).
+    program elsewhere; "lockstep_v8"/"lockstep"/"lockstep_v6"/"xla"
+    force an engine (v6 is the previous lockstep generation, kept as the
+    probe-instrumented comparator; the round-1 scalar-core kernels were
+    retired to tools/retired/ in round 4).
 
     cost_key: optional int32 [num_blocks] decode-cost hint used to group
     same-cost blocks into lockstep lanes (the encoder's per-block
@@ -147,18 +148,25 @@ def decompress_blocks_device(comp, comp_len, out_size: int,
             cost_key = jnp.pad(jnp.asarray(cost_key, jnp.int32),
                                (0, nbp - nb))
     on_tpu = jax.default_backend() == "tpu"
-    # The lockstep engine holds every lane's full output in VMEM
-    # (out_size x 128 x ~1 B/row-byte): 256 KiB blocks are ~32 MB and
-    # fine; 1-4 MiB blocks would need 128-512 MB. Until the committed
-    # tape streams to HBM behind the 64 KiB match window, larger blocks
-    # take the portable engine (correct, slow — the fio envelope's top
-    # sizes are correctness-swept, not the bandwidth path).
-    V6_MAX_BLOCK = 262144
-    if impl in ("lockstep", "lockstep_v7") or (
-            impl == "auto" and on_tpu and out_size <= V6_MAX_BLOCK):
-        from .pallas.lockstep_v7 import decompress_blocks_lockstep_v7
-        out, out_len, err = decompress_blocks_lockstep_v7(
+    # The pure-VMEM lockstep engines hold every lane's full output in
+    # VMEM (out_size x 128 bytes): 256 KiB blocks are ~32 MB and fine.
+    # Beyond that the v8 engine keeps comp+out in HBM behind VMEM
+    # comp/history rings (incremental DMA), serving the fio envelope's
+    # top sizes (512 KiB-4 MiB) on the kernel.
+    V7_MAX_BLOCK = 262144
+    if impl == "lockstep_v8" or (impl == "auto" and on_tpu
+                                 and out_size > V7_MAX_BLOCK):
+        from .pallas.lockstep_v8 import decompress_blocks_lockstep_v8
+        out, out_len, err = decompress_blocks_lockstep_v8(
             comp, comp_len, out_size, sr=512, unroll=4,
+            sort_key=cost_key, interpret=not on_tpu)
+    elif impl in ("lockstep", "lockstep_v7") or (
+            impl == "auto" and on_tpu and out_size <= V7_MAX_BLOCK):
+        from .pallas.lockstep_v7 import decompress_blocks_lockstep_v7
+        # unroll=6 measured best on v5e (0.786 vs 0.734 at u=4: optA's
+        # flush-on-demand far service amortizes deeper unrolls)
+        out, out_len, err = decompress_blocks_lockstep_v7(
+            comp, comp_len, out_size, sr=512, unroll=6,
             sort_key=cost_key, interpret=not on_tpu)
     elif impl == "lockstep_v6":
         from .pallas.lockstep_v6 import decompress_blocks_lockstep_v6
@@ -167,15 +175,6 @@ def decompress_blocks_device(comp, comp_len, out_size: int,
         out, out_len, err = decompress_blocks_lockstep_v6(
             comp, comp_len, out_size, sr=512, unroll=4,
             sort_key=cost_key, interpret=not on_tpu)
-    elif impl == "lockstep_v4":
-        from .pallas.lockstep_v4 import decompress_blocks_lockstep_v4
-        sr = 1024 if out_size <= 4096 else 512
-        out, out_len, err = decompress_blocks_lockstep_v4(
-            comp, comp_len, out_size, sr=sr, unroll=2,
-            interpret=not on_tpu)
-    elif impl == "pallas":
-        from .pallas import decompress_blocks_pallas
-        out, out_len, err = decompress_blocks_pallas(comp, comp_len, out_size)
     else:
         out, out_len, err = _decompress_blocks_impl(
             comp, comp_len, out_size, max_sequences)

@@ -232,15 +232,11 @@ def compress_blocks_device(raw, raw_len, block_size: int,
         if nbp != nb:
             comp, comp_len, cost = comp[:nb], comp_len[:nb], cost[:nb]
         return (comp, comp_len, cost) if return_cost else (comp, comp_len)
-    use_pallas = impl in ("pallas", "scalar", "seg", "enc3") or (
+    use_pallas = impl in ("pallas", "seg", "enc3") or (
         impl == "auto" and on_tpu and block_size <= 65536)
     if use_pallas:
         cost = None
-        if impl == "scalar":
-            from .pallas.encode_kernel import compress_blocks_pallas
-            comp, comp_len = compress_blocks_pallas(
-                raw, raw_len, block_size, acceleration=acceleration)
-        else:
+        if True:
             # match_depth >= 2 selects the deep kernel mode: best-of-3
             # chain candidates per probe with one-step lazy deferral
             # (golden.compress_deep, ~0.926x LZ4_compress_default).

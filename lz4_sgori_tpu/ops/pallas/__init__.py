@@ -8,4 +8,3 @@ dynamic *sublane* addressing, full-width lane rolls, masked lane reductions,
 and one-hot MXU permutations — with no per-lane gathers anywhere.
 """
 
-from .decode_kernel import decompress_blocks_pallas  # noqa: F401

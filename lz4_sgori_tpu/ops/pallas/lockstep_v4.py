@@ -106,297 +106,7 @@ def extract_bytes_banded(ref, g, bytepos, w: int, R: int, bounds=None,
     return byteshift_up(win, bytepos & 3)[:w]
 
 
-def _round(st, stag, loc_ref, locb_ref, scr_ref, comp_ref, out_ref, g,
-           clen, olen, win_base, CR: int, OR: int, LWU: int,
-           nofar: bool = False, noplace: bool = False,
-           nostag: bool = False, allow_far: bool = True,
-           do_refill: bool = True):
-    """Advance every unparked lane through up to one sequence.
-
-    allow_far=False (unrolled sub-steps > 0): a lane whose match source
-    reaches below win_base parks in MATCH mode until the next round's
-    sub-step 0, so the whole round fires at most ONE committed-history
-    banded scan — the measured ~1 us fixed sync cost of that scan
-    amortizes over `unroll` sequences. do_refill=False skips the comp
-    window refill check (the round wrapper refills once per round with a
-    reserve covering all sub-steps)."""
-    SR = stag.shape[0]
-    win_end = win_base + SR * 4
-    mode, ip, op = st["mode"], st["ip"], st["op"]
-    lit, mlen, acc = st["lit"], st["mlen"], st["acc"]
-    ml0, d = st["ml0"], st["d"]
-    run = (mode < DONE) & (op < win_end)
-
-    # ---- local comp window refill (amortized banded scan) ----
-    # The window persists in scratch; refills run under pl.when so quiet
-    # rounds skip the scan (lax.cond with vector results does not lower).
-    if do_refill:
-        U = LWU // LW                        # unroll factor (LWU = U * LW)
-        t = ip - locb_ref[...]
-        need = jnp.any(run & (t > LWU * 4 - U * RESERVE))
-        # clamp finished lanes into the live span: the banded scan walks
-        # [min row, max row] across lanes, and a DONE lane's ip parked at
-        # its tape end would stretch (and pay for) that whole walk
-        live = mode < DONE
-        ip_lo = jnp.min(jnp.where(live, ip, jnp.int32(0x40000000)))
-        ipc = jnp.where(live, ip, ip_lo)
-
-        @pl.when(need)
-        def _refill():
-            loc_ref[...] = extract_bytes_banded(comp_ref, g, ipc, LWU, CR)
-            locb_ref[...] = ipc
-
-    loc_b = locb_ref[...]
-    t = ip - loc_b
-    cw = funnel(loc_ref[...], t, EW)         # byte 0 == comp[ip]
-    b = [_sb(cw, j) for j in range(LSIC_P + 2)]
-
-    # ---- phase H: literal header (token + inline LSIC / continuation) ----
-    tok_l = run & (mode == TOK)
-    cont_l = run & (mode == LLSIC)
-    ll0 = b[0] >> F.ML_BITS
-    tok_ml0 = b[0] & F.ML_MASK
-    ext_t, cons_t, live_t = _lsic_scan(b[1:1 + LSIC_P], tok_l & (ll0 == 15))
-    ext_c, cons_c, live_c = _lsic_scan(b[0:LSIC_P], cont_l)
-    to_llsic = (tok_l & live_t) | (cont_l & live_c)
-    to_lit = (tok_l & ~live_t) | (cont_l & ~live_c)
-    lit_new = jnp.where(tok_l, ll0 + jnp.where(ll0 == 15, ext_t, 0),
-                        acc + ext_c)
-    cons = jnp.where(tok_l, 1 + cons_t, jnp.where(cont_l, cons_c, 0))
-    acc = jnp.where(to_llsic, lit_new, acc)
-    ml0 = jnp.where(tok_l, tok_ml0, ml0)
-    ip = ip + cons
-    err_h = to_lit & ((ip > clen) | (ip + lit_new > clen)
-                      | (op + lit_new > olen))
-    mode = jnp.where(err_h, ERR,
-                     jnp.where(to_llsic, LLSIC,
-                               jnp.where(to_lit, LIT, mode)))
-    lit = jnp.where(to_lit & ~err_h, lit_new, lit)
-
-    # ---- phase L: literal range copy (source: the parse window) ----
-    l_run = run & (mode == LIT)
-    avail = EW * 4 - cons - 3
-    k_l = jnp.clip(jnp.minimum(jnp.minimum(lit, win_end - op),
-                               jnp.minimum(jnp.int32(CAP), avail)), 0)
-    k_l = jnp.where(l_run, k_l, 0)
-    lit_src = funnel(cw, cons, CAPW)
-    if not noplace:                          # noplace: timing probe only
-        stag = place(stag, lit_src, op - win_base, k_l)
-    op = op + k_l
-    ip = ip + k_l
-    cons = cons + k_l
-    lit = lit - k_l
-    lit_done = l_run & (lit == 0)
-    at_end = lit_done & (ip == clen)     # literal-only last sequence
-    mode = jnp.where(at_end, DONE, jnp.where(lit_done, OFF, mode))
-
-    # ---- phase O: offset + match-length header ----
-    o_l = run & (mode == OFF)
-    m_l = run & (mode == MLSIC)
-    ow = funnel(cw, cons, 4)
-    ob = [_sb(ow, j) for j in range(LSIC_P + 2)]
-    o16 = ob[0] | (ob[1] << 8)
-    err_o = o_l & ((ip + 2 > clen) | (o16 == 0) | (o16 > op))
-    o_l = o_l & ~err_o
-    ext_o, cons_o, live_o = _lsic_scan(ob[2:2 + LSIC_P], o_l & (ml0 == 15))
-    ext_m, cons_m, live_m = _lsic_scan(ob[0:LSIC_P], m_l)
-    to_mlsic = (o_l & live_o) | (m_l & live_m)
-    to_match = (o_l & ~live_o) | (m_l & ~live_m)
-    mlen_new = jnp.where(
-        o_l, F.MINMATCH + ml0 + jnp.where(ml0 == 15, ext_o, 0),
-        acc + ext_m)
-    cons2 = jnp.where(o_l, 2 + cons_o, jnp.where(m_l, cons_m, 0))
-    acc = jnp.where(to_mlsic, mlen_new, acc)
-    d = jnp.where(o_l, o16, d)
-    ip = ip + cons2
-    err_m = to_match & ((ip > clen) | (op + mlen_new > olen))
-    mode = jnp.where(err_o | err_m, ERR,
-                     jnp.where(to_mlsic, MLSIC,
-                               jnp.where(to_match, MATCH, mode)))
-    mlen = jnp.where(to_match & ~err_m, mlen_new, mlen)
-
-    # ---- phase M: match range copy (doubling distance) ----
-    m_run = run & (mode == MATCH)
-    if not allow_far:
-        # unrolled sub-step: far lanes park in MATCH until the next
-        # round's sub-step 0 (k_m forced 0; no committed-history scan)
-        m_run = m_run & (op - d >= win_base)
-    k_m = jnp.clip(jnp.minimum(jnp.minimum(mlen, win_end - op),
-                               jnp.minimum(jnp.int32(CAP), d)), 0)
-    k_m = jnp.where(m_run, k_m, 0)
-    src = jnp.where(m_run, op - d, op)       # parked lanes read nothing
-    if nostag:                               # nostag: timing probe only
-        s_stg = _bcast(src * 0, CAPW)
-    else:
-        s_stg = extract_bytes(stag, src - win_base, CAPW)
-    if allow_far:
-        is_far = m_run & (src < win_base)
-        far = jnp.any(is_far)
-        # clamp non-far lanes to the far minimum: the banded scan walks
-        # [min row, max row] across lanes, and a near lane's src (just
-        # below the current window) would stretch the walk from the
-        # deepest far source all the way up to the write frontier
-        far_lo = jnp.min(jnp.where(is_far, src, jnp.int32(0x40000000)))
-        scan_src = jnp.where(is_far, src, far_lo)
-        scr_ref[...] = _bcast(src * 0, CAPW)
-
-        if not nofar:                        # nofar: timing probe only
-            @pl.when(far)                    # committed-history reads only
-            def _far_read():                 # when some lane reaches back
-                scr_ref[...] = extract_bytes_banded(out_ref, g, scan_src,
-                                                    CAPW, OR)
-
-        s_com = scr_ref[...]
-        bnd = byte_mask(CAPW, jnp.zeros_like(src), win_base - src)
-        msrc = (s_com & bnd) | (s_stg & ~bnd)
-    else:
-        msrc = s_stg                         # near sources only
-    if not noplace:                          # noplace: timing probe only
-        stag = place(stag, msrc, op - win_base, k_m)
-    op = op + k_m
-    mlen = mlen - k_m
-    d = jnp.where(m_run & (k_m == d) & (d < CAP), 2 * d, d)
-    mode = jnp.where(m_run & (mlen == 0), TOK, mode)
-
-    st2 = dict(mode=mode, ip=ip, op=op, lit=lit, mlen=mlen, acc=acc,
-               ml0=ml0, d=d, rounds=st["rounds"] + 1)
-    return st2, stag
-
-
-def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
-            loc_ref, locb_ref, scr_ref, *, CR: int, OR: int, sr: int,
-            unroll: int = 1, nofar: bool = False, noplace: bool = False,
-            nostag: bool = False, debug_rounds: bool = False):
-    g = 0                                    # block index handled by specs
-    clen = clen_ref[0]
-    olen = olen_ref[0]
-    n_win = OR // sr
-
-    # Derive every loop-carried init from a loaded (laned) value: literal
-    # zeros get a replicated Mosaic layout, and the while carry cannot
-    # relayout the body's laned outputs back to replicated.
-    z = clen * 0
-    st = dict(mode=z, ip=z, op=z, lit=z, mlen=z, acc=z, ml0=z, d=z,
-              rounds=z)
-    LWU = LW * unroll
-    locb_ref[...] = z - LWU * 8                # poisoned: first refill fires
-    max_rounds = jnp.int32(4 * (CR + OR) + 2048)
-
-    def win_body(w, st):
-        win_base = w * sr * 4
-
-        def cond(c):
-            st, _stag = c
-            active = (st["mode"] < DONE) & (st["op"] < win_base + sr * 4)
-            return jnp.any(active) & jnp.all(st["rounds"] < max_rounds)
-
-        def body(c):
-            st, stag = c
-            for u in range(unroll):
-                st, stag = _round(
-                    st, stag, loc_ref, locb_ref, scr_ref, comp_ref,
-                    out_ref, g, clen, olen, win_base, CR, OR, LWU,
-                    nofar=nofar, noplace=noplace, nostag=nostag,
-                    allow_far=(u == 0), do_refill=(u == 0))
-            return st, stag
-
-        st, stag = jax.lax.while_loop(
-            cond, body, (st, _bcast(st["mode"] * 0, sr)))
-        out_ref[g, pl.ds(w * sr, sr), :] = stag
-        return st
-
-    st = jax.lax.fori_loop(0, n_win, win_body, st)
-    err = (st["mode"] != DONE).astype(jnp.int32)
-    len_ref[0] = jnp.where(err != 0, 0, st["op"])
-    err_ref[0] = st["rounds"] if debug_rounds else err
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("out_size", "sr", "unroll", "interpret",
-                                    "sort", "nofar", "noplace", "nostag",
-                                    "debug_rounds"))
-def decompress_blocks_lockstep_v4(comp, comp_len, out_size: int,
-                                  sr: int = 512, unroll: int = 2,
-                                  interpret: bool = False,
-                                  sort: bool = True, nofar: bool = False,
-                                  noplace: bool = False, nostag: bool = False,
-                                  debug_rounds: bool = False):
-    """Decode a batch of independent LZ4 blocks (v4 lockstep engine).
-
-    comp uint8 [B, slot] zero-padded, comp_len int32 [B], static out_size
-    -> (out uint8 [B, out_size], out_len int32 [B], err bool [B]); err
-    mirrors golden.decompress's DecodeError cases exactly
-    (lz4e_decompress.c:62-460 semantics).
-    """
-    comp = jnp.asarray(comp, jnp.uint8)
-    comp_len = jnp.asarray(comp_len, jnp.int32)
-    nb, slot = comp.shape
-    while sr > FR and sr * 4 > max(out_size, 4 * FR):
-        sr //= 2
-    sr = max(sr, BAND)                       # OR must stay BAND-aligned
-    out_cap = -(-max(out_size, 1) // (4 * sr)) * (4 * sr)
-    ng = -(-nb // LANES)
-    pad = ng * LANES - nb
-    if pad:
-        comp = jnp.pad(comp, ((0, pad), (0, 0)))
-        comp_len = jnp.pad(comp_len, (0, pad), constant_values=1)
-        comp = comp.at[nb:, 0].set(0)
-    if sort and ng > 1:
-        # group blocks of similar cost: straggler lanes gate only their
-        # own group (decode rounds track sequence count ~ comp ratio)
-        order = jnp.argsort(comp_len)
-        inv = jnp.argsort(order)
-        comp = comp[order]
-        comp_len = comp_len[order]
-    g8 = comp.reshape(ng, LANES, slot)
-    gl = comp_len.reshape(ng, LANES)
-    tapes = jax.vmap(LK.pack_tapes)(g8, gl)            # (ng, CR, 128)
-    cr = tapes.shape[1]
-    if cr % BAND:
-        tapes = jnp.pad(tapes, ((0, 0), (0, BAND - cr % BAND), (0, 0)))
-        cr = tapes.shape[1]
-    orr = out_cap // 4
-    olen = jnp.full((ng, 1, LANES), out_size, jnp.int32)
-    clen2 = gl.reshape(ng, 1, LANES)
-
-    out, out_len, err = pl.pallas_call(
-        functools.partial(_kernel, CR=cr, OR=orr, sr=sr, unroll=unroll,
-                          nofar=nofar, noplace=noplace, nostag=nostag,
-                          debug_rounds=debug_rounds),
-        grid=(ng,),
-        in_specs=[
-            pl.BlockSpec((1, cr, LANES), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, orr, LANES), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((ng, orr, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((ng, 1, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((ng, 1, LANES), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((LW * unroll, LANES), jnp.int32),  # local comp window
-            pltpu.VMEM((1, LANES), jnp.int32),      # its per-lane base
-            pltpu.VMEM((CAPW, LANES), jnp.int32),   # far-match buffer
-        ],
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(tapes, clen2, olen)
-
-    data = jax.vmap(LK.unpack_tapes)(out)              # (ng, 128, out_cap)
-    data = data.reshape(ng * LANES, out_cap)
-    out_len = out_len.reshape(-1)
-    err = err.reshape(-1)
-    if sort and ng > 1:
-        data = data[inv]
-        out_len = out_len[inv]
-        err = err[inv]
-    if debug_rounds:
-        return data[:nb, :out_size], out_len[:nb], err[:nb]
-    return (data[:nb, :out_size], out_len[:nb], err[:nb].astype(bool))
+# The v4 engine itself (windowed lockstep with per-window lane sync) was
+# retired in round 4 — superseded by the v6 ring and v7 hot-ring engines,
+# which import this module's banded-extract library. See git history for
+# the full engine; tools/retired/ holds the round-1 scalar kernels.

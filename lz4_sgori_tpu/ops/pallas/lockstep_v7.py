@@ -80,7 +80,8 @@ def transfer_frames(stag, hot, hb, elig):
     return jnp.concatenate(parts, axis=0), jnp.where(elig, hb + 128, hb)
 
 
-def _round(st, stag, hot, fl, served, loc, locb, scr, clen, olen):
+def _round(st, stag, hot, fl, served, loc, locb, scr, clen, olen,
+           run_ok=None):
     """Advance every live lane through up to one sequence (hot edition).
 
     All writes land in the hot ring at op mod HSPAN; headroom is the
@@ -88,6 +89,8 @@ def _round(st, stag, hot, fl, served, loc, locb, scr, clen, olen):
     committed-history window sits in `scr` (wrapper-loaded); unserved
     far lanes and gap lanes (source above the ring's transfer frontier
     but beyond the hot span) park in MATCH until service/transfers.
+    run_ok (1,128) bool: extra lane gate (the v8 big-block shell parks
+    lanes whose comp position left the resident comp-ring window).
     """
     SR = stag.shape[0]
     rspan = SR * 4
@@ -95,6 +98,8 @@ def _round(st, stag, hot, fl, served, loc, locb, scr, clen, olen):
     lit, mlen, acc = st["lit"], st["mlen"], st["acc"]
     ml0, d = st["ml0"], st["d"]
     run = mode < DONE
+    if run_ok is not None:
+        run = run & run_ok
     head = hb + HSPAN - op                   # hot headroom
 
     t = ip - locb

@@ -39,7 +39,13 @@ def test_acceleration_changes_output(fixtures):
 
 @pytest.mark.parametrize("accel", [1, 8])
 def test_pallas_encode_acceleration_matches_golden(fixtures, accel):
-    from lz4_sgori_tpu.ops.pallas.encode_kernel import compress_blocks_pallas
+    # acceleration semantics on the production enc3 engine: byte parity
+    # with the golden dense-rule oracle at the same skip schedule
+    # (lz4e_compress.c:296-307). The round-1 scalar kernel that held
+    # LZ4_compress_fast byte parity was retired to tools/retired/; the
+    # liblz4-facing accel contract lives in test_accel_monotonic below.
+    from lz4_sgori_tpu.ops.pallas.lockstep_enc3 import (
+        compress_blocks_lockstep_enc3)
 
     bs = 4096
     names = ["text_small", "text_large"]
@@ -47,11 +53,12 @@ def test_pallas_encode_acceleration_matches_golden(fixtures, accel):
         data = fixtures[name][:bs]
         raw = np.zeros((1, bs), np.uint8)
         raw[0, :len(data)] = np.frombuffer(data, np.uint8)
-        comp, clen = compress_blocks_pallas(
+        comp, clen, err = compress_blocks_lockstep_enc3(
             raw, np.asarray([len(data)], np.int32), bs,
-            interpret=True, acceleration=accel)
+            interpret=True, accel=accel)
+        assert not np.asarray(err)[0]
         got = np.asarray(comp)[0, :int(clen[0])].tobytes()
-        want = golden.compress(data, acceleration=accel)
+        want = golden.compress_dense(data, acceleration=accel, hashlog=16)
         assert got == want, (name, accel)
 
 

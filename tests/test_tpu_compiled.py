@@ -242,67 +242,6 @@ def test_compiled_production_roundtrip_64k(fixtures):
     assert out[0, :len(data)].tobytes() == data
 
 
-def test_compiled_escape_hatch_kernels(fixtures):
-    """The impl='scalar' encode and impl='pallas' decode escape hatches
-    stay compiled-correct (LZ4_compress_default byte parity)."""
-    from lz4_sgori_tpu.ops.pallas.decode_kernel import \
-        decompress_blocks_pallas
-    from lz4_sgori_tpu.ops.pallas.encode_kernel import compress_blocks_pallas
-
-    names = ["text_small", "zeros_4k", "random_4k"]
-    raws = [fixtures[n][:BS] for n in names]
-    raw, rlen = _pack(raws, BS)
-    comp, clen = compress_blocks_pallas(raw, rlen, BS)
-    comp, clen = np.asarray(comp), np.asarray(clen)
-    slot = F.compress_bound(BS) + 8
-    padded = np.zeros((len(raws), slot), np.uint8)
-    padded[:, :comp.shape[1]] = comp
-    out, olen, err = decompress_blocks_pallas(padded, clen, BS)
-    out, olen, err = np.asarray(out), np.asarray(olen), np.asarray(err)
-    for j, data in enumerate(raws):
-        assert bytes(comp[j, :clen[j]]) == bytes(golden.compress(data))
-        assert not err[j] and out[j, :olen[j]].tobytes() == data
-
-
-def test_compiled_v6_streams_parity(fixtures):
-    """streams=2 (two interleaved lockstep groups per kernel body) must
-    be byte-identical to streams=1 semantics on compiled hardware."""
-    from lz4_sgori_tpu.ops.pallas.lockstep_v6 import (
-        decompress_blocks_lockstep_v6)
-
-    bs = 16384
-    base = (fixtures["mixed"] * ((bs // len(fixtures["mixed"])) + 1))
-    raws = [base[k:k + bs] for k in range(0, 256 * 61, 61)][:256]
-    comps = [bytes(golden.compress(d)) for d in raws]
-    slot = F.compress_bound(bs) + 8
-    comp, clen = _pack(comps, slot)
-    out, olen, err = decompress_blocks_lockstep_v6(comp, clen, bs,
-                                                   streams=2)
-    out, olen, err = np.asarray(out), np.asarray(olen), np.asarray(err)
-    for j, data in enumerate(raws):
-        assert not err[j] and olen[j] == len(data), j
-        assert out[j, :olen[j]].tobytes() == data, j
-
-
-def test_compiled_seg_big_block(fixtures):
-    """>64 KiB blocks on the seg engine (piecewise candidates): byte
-    parity vs golden.compress_dense_seg_big at 128 KiB, fully on-device
-    (the round-3 jittability + large-block-ratio items)."""
-    from lz4_sgori_tpu.ops.pallas.lockstep_enc3 import (
-        compress_blocks_lockstep_seg)
-
-    bs = 131072
-    data = (fixtures["mixed"] * ((bs // len(fixtures["mixed"])) + 1))[:bs]
-    data2 = data[:bs - 777]
-    raw, rlen = _pack([data, data2], bs)
-    comp, clen, err = compress_blocks_lockstep_seg(raw, rlen, bs, seg=4096)
-    comp, clen, err = np.asarray(comp), np.asarray(clen), np.asarray(err)
-    for j, d in enumerate([data, data2]):
-        assert not err[j], j
-        want = golden.compress_dense_seg_big(d, seg=4096)
-        assert comp[j, :clen[j]].tobytes() == want, j
-
-
 def test_compiled_enc3_deep_parity(fixtures):
     """depth=3 (match_depth) mode: compiled parity vs compress_deep."""
     from lz4_sgori_tpu.ops.pallas.lockstep_enc3 import (

@@ -32,8 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ... import format as F
-from .encode_kernel import (_copy_literals, _oput32, _oput_byte,
+from lz4_sgori_tpu import format as F
+from encode_kernel import (_copy_literals, _oput32, _oput_byte,
                             _oput_partial, _sbyte, _sread32, _srl, _wrows)
 
 LANES = 128

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ... import format as F
+from lz4_sgori_tpu import format as F
 
 LANES = 128
 _HASHLOG = 13  # golden's small-input configuration (byte parity <= 64 KiB)

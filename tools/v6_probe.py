@@ -38,7 +38,13 @@ def main():
     from __graft_entry__ import _synth_corpus
     from lz4_sgori_tpu import native
     from lz4_sgori_tpu.blocks import split_blocks
-    if os.environ.get("V6_ENGINE") == "v7":
+    if os.environ.get("V6_ENGINE") == "v8":
+        from lz4_sgori_tpu.ops.pallas.lockstep_v8 import (
+            decompress_blocks_lockstep_v8 as decompress_blocks_lockstep_v6)
+        kw.pop("streams", None)
+        kw.pop("nofar", None)
+        kw.pop("noflush", None)
+    elif os.environ.get("V6_ENGINE") == "v7":
         from lz4_sgori_tpu.ops.pallas.lockstep_v7 import (
             decompress_blocks_lockstep_v7 as decompress_blocks_lockstep_v6)
         kw.pop("streams", None)
