@@ -223,6 +223,14 @@ def compress_to_blocks(data: bytes, block_size: int = DEFAULT_BLOCK_SIZE, *,
             comp_len[j] = len(fixed)
             if stats is not None:
                 stats.record_fallback()
+        if size_dominance and not native.available():
+            # the knob is a size CONTRACT — never let it no-op silently
+            # (round-3 verdict weak item 7)
+            import warnings
+            warnings.warn(
+                "size_dominance requested but the native reference codec "
+                "is unavailable; the LZ4_compress_default size bound is "
+                "NOT being enforced on this call.", stacklevel=2)
         if size_dominance and native.available():
             # Size dominance: guarantee each block is never larger than
             # LZ4_compress_default's encoding (the BASELINE ratio

@@ -83,7 +83,8 @@ def extract_bytes_ring(ref, bytepos, w: int, lim_rows, nslab_log: int):
 
 def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
             loc_ref, locb_ref, scr_ref, fl_ref, cring_ref, hist_ref,
-            fslab_ref, chi_ref, sem, *, CR: int, OR: int, sr: int,
+            fslab_ref, stg_ref, sbounds_ref, chi_ref, sem, *,
+            CR: int, OR: int, sr: int,
             unroll: int = 4, transfers: int = 2,
             debug_rounds: bool = False):
     g = pl.program_id(0)
@@ -121,14 +122,18 @@ def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
                 dma.wait()
                 chi_ref[0] = hi + CCH
 
-    def flush_dma(stag, fl, nfl, b_lo, b_hi, byte_lim=None):
-        """DMA read-modify-write flush: out slab -> blend ring rows
-        [fl, fl+nfl) per lane -> write back + mirror into the history
-        ring. Other lanes' columns (finished lanes included) pass
-        through untouched."""
+    def flush_dma(stag, fl, nfl, byte_lim=None):
+        """DMA read-modify-write flush of every lane's ring rows
+        [fl, fl+nfl) to the out tape + the per-lane-masked history
+        mirror. Each slab visit costs ~us of DMA round trip, so this
+        walks PER-LANE slab ranges (visits scale with rows actually
+        flushed, not with the fleet's frontier spread): lane L's bounds
+        come from an SMEM mirror of fl/nfl, and consecutive lanes with
+        an identical range (same-cost groups cluster) are deduped
+        against the previous lane's interval."""
         nb = sr // BAND
 
-        def body(b, carry):
+        def rmw(b, _):
             bc = jnp.minimum(b << blog, jnp.int32(OR - BAND))
             rd = pltpu.make_async_copy(
                 out_ref.at[g, pl.ds(bc, BAND), :], fslab_ref, sem)
@@ -163,9 +168,29 @@ def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
                 fslab_ref, out_ref.at[g, pl.ds(bc, BAND), :], sem)
             wr.start()
             wr.wait()
-            return carry
+            return _
 
-        jax.lax.fori_loop(b_lo, b_hi, body, 0)
+        # mirror per-lane bounds into SMEM ((8,128): 1-sublane DMAs
+        # hardware-fault — the block must be a full int32 tile)
+        stg_ref[0:1, :] = fl
+        stg_ref[1:2, :] = fl + nfl
+        cp = pltpu.make_async_copy(stg_ref, sbounds_ref, sem)
+        cp.start()
+        cp.wait()
+
+        def lane(li, prev):
+            plo, phi = prev
+            lo = sbounds_ref[0, li] >> 6
+            hi = (sbounds_ref[1, li] + BAND - 1) >> 6
+            hi = jnp.where(lo >= hi, lo, hi)         # empty range
+            # dedupe against the previous lane's interval
+            start = jnp.where((lo >= plo) & (hi <= phi), hi,      # nested
+                              jnp.where((lo >= plo) & (lo < phi), phi,
+                                        lo))                      # overlap
+            jax.lax.fori_loop(start, hi, rmw, 0)
+            return lo, hi
+
+        jax.lax.fori_loop(0, LANES, lane, (jnp.int32(0), jnp.int32(0)))
 
     def cond(c):
         st, _stag, _hot = c
@@ -205,15 +230,7 @@ def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
         far_lo = jnp.min(src_f)
         scan_src = jnp.where(served, op - d, far_lo)
         hbr = hb >> 2
-        # flush ONLY the urgent lanes: each DMA-RMW slab visit costs
-        # ~us (vs ~50 ns for the VMEM engines' in-place RMW), so the
-        # walk span must track the lanes that NEED the flush, not the
-        # whole fleet's frontier spread
         nfl = jnp.maximum(((hbr - fl) >> fhlog) << fhlog, 0)
-        nfl = jnp.where(f_need, nfl, 0)
-        wb_lo = jnp.min(jnp.where(nfl > 0, fl, BIG)) >> blog
-        wb_hi = (jnp.max(jnp.where(nfl > 0, fl + nfl, 0)) + BAND - 1) \
-            >> blog
 
         @pl.when((packed & 255) != 0)
         def _refill():
@@ -223,7 +240,7 @@ def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
 
         @pl.when(((packed >> 16) & 255) != 0)
         def _do_flush():
-            flush_dma(stag, fl, nfl, wb_lo, wb_hi)
+            flush_dma(stag, fl, nfl)
             fl_ref[...] = fl + nfl
 
         @pl.when(((packed >> 8) & 255) != 0)
@@ -263,10 +280,7 @@ def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
         fl = fl_ref[...]
         hbr = hb >> 2
         nfl = jnp.maximum(((hbr - fl) >> fhlog) << fhlog, 0)
-        b_lo = jnp.min(jnp.where(nfl > 0, fl, BIG)) >> blog
-        b_hi = (jnp.max(jnp.where(nfl > 0, fl + nfl, 0)) + BAND - 1) \
-            >> blog
-        flush_dma(stag, fl, nfl, b_lo, b_hi)
+        flush_dma(stag, fl, nfl)
         fl_ref[...] = fl + nfl
         elig = (st["hb"] < st["op"]) \
             & (fl + nfl >= ((st["hb"] >> 2) + FROWS - sr))
@@ -278,9 +292,7 @@ def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
     st, stag = jax.lax.fori_loop(0, HOT // FROWS + 1, drain, (st, stag))
     fl = fl_ref[...]
     nfl = jnp.int32(OR) - fl
-    b_lo = jnp.min(fl) >> blog
-    b_hi = jnp.int32(-(-OR // BAND))
-    flush_dma(stag, fl, nfl, b_lo, b_hi, byte_lim=st["op"])
+    flush_dma(stag, fl, nfl, byte_lim=st["op"])
     err = (st["mode"] != DONE).astype(jnp.int32)
     len_ref[0] = jnp.where(err != 0, 0, st["op"])
     err_ref[0] = st["rounds"] if debug_rounds else err
@@ -360,6 +372,8 @@ def decompress_blocks_lockstep_v8(comp, comp_len, out_size: int,
             pltpu.VMEM((CRING, LANES), jnp.int32),      # comp ring
             pltpu.VMEM((HR, LANES), jnp.int32),         # history ring
             pltpu.VMEM((BAND, LANES), jnp.int32),       # flush RMW slab
+            pltpu.VMEM((8, LANES), jnp.int32),          # bounds staging
+            pltpu.SMEM((8, LANES), jnp.int32),          # bounds (scalars)
             pltpu.SMEM((1,), jnp.int32),                # comp ring high
             pltpu.SemaphoreType.DMA(()),
         ],
