@@ -469,7 +469,9 @@ def main() -> None:
     # window at segment starts — the seg engine now carries candidates
     # across piece boundaries, golden.dense_candidates_piecewise) ---
     bs6 = 1 << 20
-    big_mib = int(os.environ.get("LZ4J_BIG_MIB", "32"))
+    # 128 blocks = one full 128-lane lockstep group (32 MiB measured the
+    # same kernel at 25% lane occupancy: 0.092 vs 0.174 GB/s)
+    big_mib = int(os.environ.get("LZ4J_BIG_MIB", "128"))
     data6 = _synth_corpus(big_mib << 20, seed=55)
     raw6_np, rlen6_np = split_blocks(data6, bs6)
     raw6 = jax.device_put(raw6_np, dev)

@@ -161,17 +161,22 @@ def decompress_blocks_device(comp, comp_len, out_size: int,
             comp, comp_len, out_size, sr=512, unroll=4,
             sort_key=cost_key, interpret=not on_tpu)
     elif impl in ("lockstep", "lockstep_v7") or (
-            impl == "auto" and on_tpu and out_size <= V7_MAX_BLOCK):
+            impl == "auto" and on_tpu
+            and 16384 <= out_size <= 131072):
         from .pallas.lockstep_v7 import decompress_blocks_lockstep_v7
         # unroll=6 measured best on v5e (0.786 vs 0.734 at u=4: optA's
         # flush-on-demand far service amortizes deeper unrolls)
         out, out_len, err = decompress_blocks_lockstep_v7(
             comp, comp_len, out_size, sr=512, unroll=6,
             sort_key=cost_key, interpret=not on_tpu)
-    elif impl == "lockstep_v6":
+    elif impl == "lockstep_v6" or (
+            impl == "auto" and on_tpu and out_size <= V7_MAX_BLOCK):
+        # envelope edges keep the v6 ring engine: v7's flush-on-demand
+        # far service wins in the 16-128 KiB core band (0.786 vs 0.667
+        # at 64 KiB) but loses where mid-range offsets dominate and far
+        # scans are cheap — measured 5.41 vs 6.68 GB/s at 4 KiB and
+        # 0.266 vs 0.345 at 256 KiB (BENCH_r03 / round-4 smoke)
         from .pallas.lockstep_v6 import decompress_blocks_lockstep_v6
-        # a 2 KiB ring covers most match offsets; small blocks shrink it
-        # in the wrapper (ring <= ~block size)
         out, out_len, err = decompress_blocks_lockstep_v6(
             comp, comp_len, out_size, sr=512, unroll=4,
             sort_key=cost_key, interpret=not on_tpu)

@@ -211,7 +211,12 @@ def _kernel(comp_ref, clen_ref, olen_ref, out_ref, len_ref, err_ref,
             (((ip_lo >> 2) >> 11) << 11) + CRING)    # CCH=2048-aligned
         advance_cring(hi_t)
         hi = chi_ref[0]
-        in_win = ip + LWU * 4 + 8 <= hi * 4
+        # fully-loaded ring (hi == CR) always qualifies: the refill
+        # extraction zero-masks rows past hi, so a lane whose tail sits
+        # within a parse window of the PADDED tape end must not wait
+        # for ring rows that will never exist (1 MiB livelock: the
+        # largest-clen lane parked forever when CR*4 - clen < LWU*4)
+        in_win = (ip + LWU * 4 + 8 <= hi * 4) | (hi >= CR)
         run_ok = in_win
 
         # ---- batched round-start decisions ----
