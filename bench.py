@@ -13,13 +13,14 @@ publishes no numbers).
 
 Also measured, per BASELINE.json:
   config 2 — enwik8-like text at 256 KiB blocks (long literal runs,
-             multi-byte LSIC lengths); device decode through the v4
-             lockstep engine, which has no block-size cap.
+             multi-byte LSIC lengths); v6 ring decode (the envelope-edge
+             engine).
   config 3 — bdev-style 4 KiB chunks, zero/random mix.
-  config 5 — deep-match (depth-3 lookback XLA engine) ratio + GB/s on a
-             1 GiB mixed corpus. The corpus tiles a distinct base B times;
-             blocks are independent and identical across tiles, so the
-             base's ratio and per-byte cost are exactly the 1 GiB values.
+  config 5 — deep-match mode (seg engine, depth 3 + one-step lazy) on a
+             distinct 128 MiB corpus; the exhaustive XLA engine's size
+             envelope is sampled alongside.
+  config 6 — 1 MiB blocks: seg encode with piecewise candidates (ratio
+             contract at the fio envelope top) + v8 HBM-tape decode.
 
 Timing methodology: on proxied TPU attachments (axon) ``block_until_ready``
 can acknowledge dispatch before execution completes, and bulk device->host

@@ -34,8 +34,10 @@ def compress_blocks_sharded(raw, raw_len, block_size: int, mesh: Mesh,
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(axis, None), P(axis)),
-        out_specs=(P(axis, None), P(axis)))
+        out_specs=(P(axis, None), P(axis)), check_vma=False)
     def local(r, rl):
+        # check_vma=False: pallas_call out_shapes carry no vma under
+        # shard_map (same setting as assemble_container_sharded)
         return compress_blocks_device(r, rl, block_size)
 
     return jax.jit(local)(raw, raw_len)
@@ -48,7 +50,7 @@ def decompress_blocks_sharded(comp, comp_len, out_size: int, mesh: Mesh,
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(axis, None), P(axis)),
-        out_specs=(P(axis, None), P(axis), P(axis)))
+        out_specs=(P(axis, None), P(axis), P(axis)), check_vma=False)
     def local(c, cl):
         return decompress_blocks_device(c, cl, out_size)
 
@@ -76,7 +78,8 @@ def write_pipeline_sharded(raw, raw_len, block_size: int, mesh: Mesh,
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(axis, None), P(axis)),
-        out_specs=(P(axis, None), P(axis), P(axis), P()))
+        out_specs=(P(axis, None), P(axis), P(axis), P()),
+        check_vma=False)
     def local(r, rl):
         comp, clen = compress_blocks_device(r, rl, block_size)
         padded = jnp.pad(comp, ((0, 0), (0, slot - comp.shape[1])))

@@ -167,8 +167,11 @@ def test_compiled_v6_fuzz_at_scale(fixtures):
     batch (16 lockstep groups): STRICT bidirectional err equivalence
     with golden.decompress — every kernel-accepted stream must match
     golden's bytes, and every golden-accepted stream must be accepted
-    (the round-3 verdict item 8 scale-up). liblz4 acceptance is checked
-    as a third implementation where available."""
+    (the round-3 verdict item 8 scale-up). liblz4 is the third
+    implementation: when BOTH accept, bytes must agree; liblz4 MAY be
+    stricter than the reference decoder on malformed corners (measured:
+    it rejects some end-of-block shapes lz4e_decompress/golden accept),
+    but a stream liblz4 accepts must never be one we reject."""
     from lz4_sgori_tpu.utils import oracle
 
     rng = np.random.default_rng(0xC0FFEE)
@@ -179,7 +182,7 @@ def test_compiled_v6_fuzz_at_scale(fixtures):
     muts = make_mutants(bases, rng, 2048, slot)
     comp, clen = _pack(muts, slot)
     out, olen, err = _v6(comp, clen, BS)
-    n_acc = n_rej = 0
+    n_acc = n_rej = n_liblz4_stricter = 0
     for j, m in enumerate(muts):
         try:
             want = golden.decompress(m, BS)
@@ -188,14 +191,26 @@ def test_compiled_v6_fuzz_at_scale(fixtures):
             ok_ref = False
         assert bool(err[j]) == (not ok_ref), \
             f"mutant {j}: kernel err={bool(err[j])} golden ok={ok_ref}"
+        lz_ok, lz_out = None, None
+        if oracle.available():
+            try:
+                lz_out = oracle.decompress(m, BS)
+                lz_ok = True
+            except ValueError:
+                lz_ok = False
         if ok_ref:
             n_acc += 1
             assert olen[j] == len(want), j
             assert out[j, :olen[j]].tobytes() == want, j
-            if oracle.available():
-                assert oracle.decompress(m, BS) == want, j
+            if lz_ok:
+                assert lz_out == want, j
+            elif lz_ok is False:
+                n_liblz4_stricter += 1
         else:
             n_rej += 1
+            # never stricter than stock liblz4
+            assert lz_ok is not True, \
+                f"mutant {j}: liblz4 accepted, we rejected"
     # the pool must exercise both verdicts heavily
     assert n_acc >= 64 and n_rej >= 512, (n_acc, n_rej)
 
