@@ -44,6 +44,14 @@ def main():
         kw.pop("streams", None)
         kw.pop("nofar", None)
         kw.pop("noflush", None)
+    elif os.environ.get("V6_ENGINE") == "v9":
+        from lz4_sgori_tpu.ops.pallas.lockstep_v9 import (
+            decompress_blocks_lockstep_v9 as decompress_blocks_lockstep_v6)
+        kw.pop("streams", None)
+        kw.pop("nofar", None)
+        kw.pop("noflush", None)
+        kw["transfers"] = int(os.environ.get("V7_TRANSFERS", "2"))
+        kw["chain"] = int(os.environ.get("V9_CHAIN", "4"))
     elif os.environ.get("V6_ENGINE") == "v7":
         from lz4_sgori_tpu.ops.pallas.lockstep_v7 import (
             decompress_blocks_lockstep_v7 as decompress_blocks_lockstep_v6)
@@ -89,6 +97,12 @@ def main():
         sort = False
         print(f"[v6] oracle key: solo rounds min={min(keys)} "
               f"max={max(keys)}", flush=True)
+    if os.environ.get("V6_ENGINE") == "v9" and sort:
+        # production chaining key: per-block sequence count (what the
+        # encoder returns for free via return_cost)
+        from chain_sim import count_sequences
+        kw["sort_key"] = np.asarray(
+            [count_sequences(c) for c in comps], np.int32)
     slot = -(-(max(len(c) for c in comps) + 8) // 32) * 32
     comp = np.zeros((nb, slot), np.uint8)
     clen = np.zeros(nb, np.int32)
