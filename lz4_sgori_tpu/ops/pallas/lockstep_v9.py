@@ -172,14 +172,14 @@ def _kernel(comp_ref, clen_ref, out_ref, len_ref, err_ref,
     g = 0
     z = clen_ref[0, 0:1] * 0
 
-    # per-chain-slot results ride the loop carry as (C, LANES) selects
-    # (Mosaic rejects masked row-slice writes into a (C, LANES) ref
-    # inside the loop); they hit len_ref/err_ref once, at the end
-    zc = jnp.zeros((C, LANES), jnp.int32)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (C, LANES), 0)
+    # per-chain-slot results ride the loop carry as C separate (1, 128)
+    # rows — the one vector shape the v6/v7 machines already prove out
+    # on Mosaic (masked row-slice ref writes and (C,128) selects inside
+    # the loop both trip layout-inference relayout errors); they land in
+    # len_ref/err_ref once, at the end
     st = dict(mode=z, ip=z, op=z, hb=z, lit=z, mlen=z, acc=z, ml0=z,
               d=z, rounds=z, cur=z, cend=clen_ref[0, 0:1], obase=z,
-              lens=zc, errs=zc)
+              lens=(z,) * C, errs=(z,) * C)
     LWU = 1 << (LW * unroll - 1).bit_length()
     locb_ref[...] = z - LWU * 8
     fl_ref[...] = z
@@ -192,10 +192,12 @@ def _kernel(comp_ref, clen_ref, out_ref, len_ref, err_ref,
     def record(st, m):
         blk_err = (st["mode"] != DONE).astype(jnp.int32)
         blk_len = jnp.where(blk_err != 0, 0, st["op"] - st["obase"])
-        m2 = m & (rows == st["cur"])
-        return dict(st,
-                    lens=jnp.where(m2, blk_len, st["lens"]),
-                    errs=jnp.where(m2, blk_err, st["errs"]))
+        return dict(
+            st,
+            lens=tuple(jnp.where(m & (st["cur"] == j), blk_len, v)
+                       for j, v in enumerate(st["lens"])),
+            errs=tuple(jnp.where(m & (st["cur"] == j), blk_err, v)
+                       for j, v in enumerate(st["errs"])))
 
     def cond(c):
         st, _stag, _hot = c
@@ -315,11 +317,10 @@ def _kernel(comp_ref, clen_ref, out_ref, len_ref, err_ref,
 
     # ---- record the final chain slot and land the result tapes ----
     st = record(st, st["cur"] == C - 1)
-    len_ref[0] = st["lens"]
-    if debug_rounds:
-        err_ref[0] = jnp.where(rows == 0, st["rounds"], st["errs"])
-    else:
-        err_ref[0] = st["errs"]
+    len_ref[0] = jnp.concatenate(st["lens"], axis=0)
+    errs = ((st["rounds"],) + st["errs"][1:]) if debug_rounds \
+        else st["errs"]
+    err_ref[0] = jnp.concatenate(errs, axis=0)
 
     # ---- drain: transfer every remaining (incl. partial) frame ----
     def drain(i, c):
