@@ -166,20 +166,23 @@ def _round(st, stag, hot, fl, served, loc, locb, scr, out_size):
 
 
 def _kernel(comp_ref, clen_ref, out_ref, len_ref, err_ref,
-            loc_ref, locb_ref, scr_ref, fl_ref, *, C: int, OUT_SIZE: int,
-            SLOT4: int, CR: int, OR: int, sr: int, unroll: int = 4,
-            transfers: int = 2, debug_rounds: bool = False):
+            loc_ref, locb_ref, scr_ref, fl_ref, *res_refs, C: int,
+            OUT_SIZE: int, SLOT4: int, CR: int, OR: int, sr: int,
+            unroll: int = 4, transfers: int = 2,
+            debug_rounds: bool = False):
     g = 0
     z = clen_ref[0, 0:1] * 0
+    # per-chain-slot results live in 2C (1, 128) scratch refs updated by
+    # full-ref RMW (the fl_ref pattern — the one masked-update shape the
+    # v6/v7 machines prove out on Mosaic; loop-carried result rows and
+    # (C,128) in-loop selects both trip layout-inference relayout
+    # errors); they land in len_ref/err_ref once, at the end
+    lens_refs, errs_refs = res_refs[:C], res_refs[C:]
+    for r in res_refs:
+        r[...] = z
 
-    # per-chain-slot results ride the loop carry as C separate (1, 128)
-    # rows — the one vector shape the v6/v7 machines already prove out
-    # on Mosaic (masked row-slice ref writes and (C,128) selects inside
-    # the loop both trip layout-inference relayout errors); they land in
-    # len_ref/err_ref once, at the end
     st = dict(mode=z, ip=z, op=z, hb=z, lit=z, mlen=z, acc=z, ml0=z,
-              d=z, rounds=z, cur=z, cend=clen_ref[0, 0:1], obase=z,
-              lens=(z,) * C, errs=(z,) * C)
+              d=z, rounds=z, cur=z, cend=clen_ref[0, 0:1], obase=z)
     LWU = 1 << (LW * unroll - 1).bit_length()
     locb_ref[...] = z - LWU * 8
     fl_ref[...] = z
@@ -192,12 +195,10 @@ def _kernel(comp_ref, clen_ref, out_ref, len_ref, err_ref,
     def record(st, m):
         blk_err = (st["mode"] != DONE).astype(jnp.int32)
         blk_len = jnp.where(blk_err != 0, 0, st["op"] - st["obase"])
-        return dict(
-            st,
-            lens=tuple(jnp.where(m & (st["cur"] == j), blk_len, v)
-                       for j, v in enumerate(st["lens"])),
-            errs=tuple(jnp.where(m & (st["cur"] == j), blk_err, v)
-                       for j, v in enumerate(st["errs"])))
+        for j in range(C):
+            mj = m & (st["cur"] == j)
+            lens_refs[j][...] = jnp.where(mj, blk_len, lens_refs[j][...])
+            errs_refs[j][...] = jnp.where(mj, blk_err, errs_refs[j][...])
 
     def cond(c):
         st, _stag, _hot = c
@@ -214,7 +215,11 @@ def _kernel(comp_ref, clen_ref, out_ref, len_ref, err_ref,
         fin = st["mode"] >= DONE
         more = st["cur"] < C - 1
         trans = fin & more & (st["hb"] >= st["op"])
-        st = record(st, trans)
+
+        @pl.when(jnp.any(trans))
+        def _record_trans():
+            record(st, trans)
+
         nxt = st["cur"] + 1
         ncend = z
         for j in range(1, C):
@@ -316,10 +321,11 @@ def _kernel(comp_ref, clen_ref, out_ref, len_ref, err_ref,
         cond, body, (st, _bcast(z, sr), _bcast(z, HOT)))
 
     # ---- record the final chain slot and land the result tapes ----
-    st = record(st, st["cur"] == C - 1)
-    len_ref[0] = jnp.concatenate(st["lens"], axis=0)
-    errs = ((st["rounds"],) + st["errs"][1:]) if debug_rounds \
-        else st["errs"]
+    record(st, st["cur"] == C - 1)
+    len_ref[0] = jnp.concatenate([r[...] for r in lens_refs], axis=0)
+    errs = [r[...] for r in errs_refs]
+    if debug_rounds:
+        errs[0] = st["rounds"]
     err_ref[0] = jnp.concatenate(errs, axis=0)
 
     # ---- drain: transfer every remaining (incl. partial) frame ----
@@ -444,7 +450,8 @@ def decompress_blocks_lockstep_v9(comp, comp_len, out_size: int,
             pltpu.VMEM((1, LANES), jnp.int32),
             pltpu.VMEM((CAPW, LANES), jnp.int32),
             pltpu.VMEM((1, LANES), jnp.int32),   # flush frontier rows
-        ],
+        ] + [pltpu.VMEM((1, LANES), jnp.int32)   # per-slot len/err rows
+             for _ in range(2 * C)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
