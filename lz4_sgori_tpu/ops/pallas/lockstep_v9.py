@@ -179,10 +179,20 @@ def _kernel(comp_ref, clen_ref, out_ref, len_ref, err_ref,
     # errors); they land in len_ref/err_ref once, at the end
     lens_refs, errs_refs = res_refs[:C], res_refs[C:]
     for r in res_refs:
-        r[...] = z
+        # data-dependent zero: a constant-folded init store would pin
+        # the ref's layout as replicated and the in-loop RMW stores
+        # (concrete lane layout) could not relayout into it
+        r[...] = jnp.minimum(clen_ref[0, 0:1], 0)
 
-    st = dict(mode=z, ip=z, op=z, hb=z, lit=z, mlen=z, acc=z, ml0=z,
-              d=z, rounds=z, cur=z, cend=clen_ref[0, 0:1], obase=z)
+    # cz: data-dependent zero (clen >= 1 on every lane) — a constant-
+    # foldable init would pin carried-state layouts as replicated, and
+    # the chain-transition updates then die in concrete->replicated
+    # relayouts (v7's carries never read `cur`-style chained state, so
+    # it never hit this)
+    cz = jnp.minimum(clen_ref[0, 0:1], 0)
+    st = dict(mode=cz, ip=cz, op=cz, hb=cz, lit=cz, mlen=cz, acc=cz,
+              ml0=cz, d=cz, rounds=cz, cur=cz, cend=clen_ref[0, 0:1],
+              obase=cz)
     LWU = 1 << (LW * unroll - 1).bit_length()
     locb_ref[...] = z - LWU * 8
     fl_ref[...] = z
@@ -193,12 +203,19 @@ def _kernel(comp_ref, clen_ref, out_ref, len_ref, err_ref,
     rspan = sr * 4
 
     def record(st, m):
+        # additive, not select: each (slot, lane) transitions exactly
+        # once, so += masked-value ≡ masked select — and Mosaic's select
+        # unifies toward the (replicated) scratch load, demanding an
+        # illegal concrete->replicated relayout of the other operand,
+        # while an add legally de-replicates the load instead
         blk_err = (st["mode"] != DONE).astype(jnp.int32)
         blk_len = jnp.where(blk_err != 0, 0, st["op"] - st["obase"])
         for j in range(C):
             mj = m & (st["cur"] == j)
-            lens_refs[j][...] = jnp.where(mj, blk_len, lens_refs[j][...])
-            errs_refs[j][...] = jnp.where(mj, blk_err, errs_refs[j][...])
+            lens_refs[j][...] = lens_refs[j][...] + \
+                jnp.where(mj, blk_len, 0)
+            errs_refs[j][...] = errs_refs[j][...] + \
+                jnp.where(mj, blk_err, 0)
 
     def cond(c):
         st, _stag, _hot = c
@@ -216,10 +233,15 @@ def _kernel(comp_ref, clen_ref, out_ref, len_ref, err_ref,
         more = st["cur"] < C - 1
         trans = fin & more & (st["hb"] >= st["op"])
 
-        @pl.when(jnp.any(trans))
-        def _record_trans():
-            record(st, trans)
+        # ungated RMW: a pl.when region here trips a Mosaic relayout
+        # error on the masked store; the selects are 2C (1,128) ops/round
+        record(st, trans)
 
+        # cur/cend/obase update ARITHMETICALLY (+= masked delta), not by
+        # select: a select whose both branches derive from the carried
+        # value lets Mosaic keep the carry replicated (its init is a
+        # constant), and every select mixing a derived-replicated
+        # operand with a concrete one then dies in relayout
         nxt = st["cur"] + 1
         ncend = z
         for j in range(1, C):
@@ -237,9 +259,10 @@ def _kernel(comp_ref, clen_ref, out_ref, len_ref, err_ref,
             acc=jnp.where(trans, 0, st["acc"]),
             ml0=jnp.where(trans, 0, st["ml0"]),
             d=jnp.where(trans, 0, st["d"]),
-            cur=jnp.where(trans, nxt, st["cur"]),
-            cend=jnp.where(trans, ncend, st["cend"]),
-            obase=jnp.where(trans, nobase, st["obase"]),
+            cur=st["cur"] + trans.astype(jnp.int32),
+            cend=st["cend"] + jnp.where(trans, ncend - st["cend"], 0),
+            obase=st["obase"]
+            + jnp.where(trans, nobase - st["obase"], 0),
         )
 
         fl = fl_ref[...]
