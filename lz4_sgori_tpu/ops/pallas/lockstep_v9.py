@@ -7,9 +7,18 @@ slowest lane finishes, and nseq-sorted grouping is already optimal for
 that sum-of-group-maxes objective. v9 changes the objective: each lane
 decodes a CHAIN of `chain` blocks laid out back-to-back in its comp
 column, so group cost becomes the balanced-lane makespan (~total/128).
-Snake-dealt packing by decode-cost key measured 1.20x on the real bench
-corpus distribution (LPT bin-packing would be 1.28x but is not
+Snake-dealt packing by decode-cost key cuts rounds 11-17% on the real
+bench corpus distribution (LPT bin-packing would be 22% but is not
 vectorizable; the deal must trace under jit).
+
+MEASURED OUTCOME (round 4, 64 KiB x 512, u=6): bit-exact on hardware,
+but SLOWER than v7 end-to-end — 59.6 ms at chain=2 / 69.7 ms at
+chain=4 vs v7's 41.3 ms. The predicted round cut materializes, but the
+shared banded walks (refill/far/flush) cost ~span-of-lane-positions
+and chained lanes diverge across chain slots, inflating walk spans
+~chain-fold. The engine is kept as the measured reference point: the
+makespan lever pays only once walk service is per-lane-range (the v8
+DMA mechanism) — see docs/Performance.md round-4 "lane chaining".
 
 Mechanics on top of v7 (which already runs in column-absolute
 coordinates):
