@@ -309,3 +309,36 @@ def test_compiled_write_pipeline_sharded_big_blocks(fixtures):
             got = oracle.decompress(comp_np[j, :clen_np[j]].tobytes(),
                                     len(r))
             assert got == r, j
+
+
+def test_compiled_v9_chain_parity(fixtures):
+    """v9 chained decoder compiled on hardware: per-lane chains of two
+    4 KiB blocks (short + empty mid-chain slots force transition
+    rebasing), checked byte/len/err-exact against golden. The engine is
+    not dispatched (slower than v7 end-to-end — see docs/Performance.md
+    round-4 'lane chaining') but must stay correct: it is the measured
+    reference point for the per-lane-walk rework."""
+    from lz4_sgori_tpu.ops.pallas.lockstep_v9 import (
+        decompress_blocks_lockstep_v9)
+
+    raws = [
+        fixtures["text_small"][:BS],
+        bytes(BS),
+        fixtures["rle_period3"][:BS],
+        fixtures["random_4k"][:BS],
+        fixtures["structured"][:BS],
+        fixtures["text_small"][:1037],     # short: mid-chain output gap
+        b"",                               # empty chain slot
+        fixtures["mixed"][:BS],
+    ]
+    comps = [golden.compress(r) for r in raws]
+    slot = -(-(max(len(c) for c in comps) + 8) // 32) * 32
+    comp, clen = _pack(comps, slot)
+    out, out_len, err = decompress_blocks_lockstep_v9(
+        comp, clen, BS, chain=2, sr=64)
+    out, out_len, err = np.asarray(out), np.asarray(out_len), \
+        np.asarray(err)
+    for j, r in enumerate(raws):
+        assert not err[j], j
+        assert int(out_len[j]) == len(r), j
+        assert out[j, :len(r)].tobytes() == r, j
