@@ -19,6 +19,15 @@ This tool measures, on the actual bench corpus distribution:
      with a per-transition overhead charged (ring/history reset is a
      handful of vector ops, modeled as N rounds each).
 
+OUTCOME (round 4): the predicted round cut is real, but the built
+engine (ops/pallas/lockstep_v9.py) measured SLOWER than v7 end-to-end
+(59.6/69.7 ms at chain 2/4 vs 41.3 ms) — this model prices rounds only,
+and the machine's shared banded walks cost ~span-of-lane-positions,
+which inflates chain-fold once lanes diverge across chain slots. The
+model stays valid for any machine with per-lane-range walk service
+(the v8 DMA mechanism). See docs/Performance.md round-4 "lane
+chaining".
+
 Run: python tools/chain_sim.py
 """
 import sys
