@@ -694,6 +694,44 @@ def dense_gaps(src: bytes, hashlog: int = 16, max_gap: int = 254):
     return out
 
 
+def dense_gaps2(src: bytes, hashlog: int = 16, max_gap: int = 254):
+    """Second gaps tape for deep chains past depth 3: gaps to the 4th
+    and 5th most recent same-hash positions, packed as g4 | g5 << 8.
+
+    Stored only while the WHOLE chain is alive (d1 != 0 and g2..gk each
+    in [1, max_gap] — a break truncates, matching dense_gaps). The TPU
+    kernel reads q4/q5 as rolled rows 4 and 5 after the bucket sort;
+    this tape is the packing contract for the planned depth-5 kernel
+    mode (docs/Performance.md round-4 deep-depth sweep: every chain
+    step past 3 keeps buying ~1% size).
+    """
+    n = len(src)
+    out = [0] * n
+    if n < 4:
+        return out
+    rd32 = [int.from_bytes(src[i:i + 4], "little") for i in range(n - 3)]
+    chains: dict = {}
+    for p in range(n - 3):
+        h = F.hash4(rd32[p], hashlog)
+        ch = chains.setdefault(h, [])
+        if len(ch) >= 4:
+            q1, q2, q3, q4 = ch[-1], ch[-2], ch[-3], ch[-4]
+            d1 = (p - q1) & 0xFFFF
+            g2 = q1 - q2
+            g3 = q2 - q3
+            g4 = q3 - q4
+            if (d1 and 1 <= g2 <= max_gap and 1 <= g3 <= max_gap
+                    and 1 <= g4 <= max_gap):
+                v = g4
+                if len(ch) >= 5:
+                    g5 = q4 - ch[-5]
+                    if 1 <= g5 <= max_gap:
+                        v |= g5 << 8
+                out[p] = v
+        ch.append(p)
+    return out
+
+
 def dense_candidates_piecewise(src: bytes, piece: int = 65536,
                                hashlog: int = 16, max_gap: int = 254,
                                with_gaps: bool = False):
@@ -773,17 +811,19 @@ def compress_dense_seg_big(src: bytes | bytearray | memoryview,
 
 
 def compress_deep(src: bytes | bytearray | memoryview,
-                  acceleration: int = 1, hashlog: int = 16) -> bytes:
+                  acceleration: int = 1, hashlog: int = 16,
+                  depth: int = 3) -> bytes:
     """Deep-match greedy compress — the byte-exact oracle of the TPU
     enc3 depth-3 mode (the HC-analog; BASELINE.json config 5).
 
     Same skip-schedule parse as compress_dense, but each probe evaluates
-    up to THREE candidates (the dense candidate plus the 2nd/3rd chain
-    entries from dense_gaps) and takes the one with the longest forward
-    match preview (capped at 64 B; nearest wins ties), with ONE-STEP
-    LAZY deferral: if position pos+1's best preview is strictly longer,
-    the match accepts at pos+1 instead (its extra literal is covered by
-    the longer match). Catch-up runs on the winner. Measured 0.9260x
+    up to `depth` candidates (the dense candidate plus chain entries
+    from dense_gaps, and past depth 3 the dense_gaps2 tape — depth <= 5)
+    and takes the one with the longest forward match preview (capped at
+    64 B; nearest wins ties), with ONE-STEP LAZY deferral: if position
+    pos+1's best preview is strictly longer, the match accepts at pos+1
+    instead (its extra literal is covered by the longer match). Catch-up
+    runs on the winner. Measured at depth 3: 0.9260x
     LZ4_compress_default aggregate on the config-5 corpus (the XLA
     engine's exhaustive-depth lazy parse reaches 0.9141x and stays
     available via impl='xla')."""
@@ -793,6 +833,8 @@ def compress_deep(src: bytes | bytearray | memoryview,
         raise ValueError(f"input too large: {n} > {F.MAX_INPUT_SIZE}")
     if acceleration < 1:
         acceleration = F.ACCELERATION_DEFAULT
+    if not 2 <= depth <= 5:
+        raise ValueError(f"depth must be in [2, 5], got {depth}")
     dst = bytearray()
 
     def rd32(i: int) -> int:
@@ -802,13 +844,15 @@ def compress_deep(src: bytes | bytearray | memoryview,
     if n >= F.MIN_LENGTH:
         cand_d = dense_candidates(src, hashlog, val16_filter=False)
         gaps = dense_gaps(src, hashlog)
+        gaps2 = dense_gaps2(src, hashlog) if depth > 3 else None
         mflimit = n - F.MFLIMIT
         matchlimit = n - F.LASTLITERALS
 
         def best_at(p):
-            """(preview_mc, match_pos) of the best of <= 3 candidates;
-            preview capped at 64 B (the kernel compares within its
-            verify window; ties at the cap go to the nearest)."""
+            """(preview_mc, match_pos) of the best of <= depth
+            candidates; preview capped at 64 B (the kernel compares
+            within its verify window; ties at the cap go to the
+            nearest)."""
             d1 = cand_d[p]
             if not d1:
                 return -1, -1
@@ -816,8 +860,12 @@ def compress_deep(src: bytes | bytearray | memoryview,
             ds = [d1]
             if g & 255:
                 ds.append(d1 + (g & 255))
-                if g >> 8:
+                if depth > 2 and g >> 8:
                     ds.append(d1 + (g & 255) + (g >> 8))
+                    if depth > 3 and gaps2[p] & 255:
+                        ds.append(ds[-1] + (gaps2[p] & 255))
+                        if depth > 4 and gaps2[p] >> 8:
+                            ds.append(ds[-1] + (gaps2[p] >> 8))
             best_mc = -1
             mp = -1
             for d in ds:

@@ -149,6 +149,21 @@ class TestSegmentedParse:
         assert golden.decompress(c3, len(data)) == data
         assert len(c3) <= len(c1)
 
+    def test_deep_depth_extension(self, fixtures):
+        """depth 4/5 via the dense_gaps2 tape: roundtrips, liblz4-
+        decodable, monotone non-increasing size, and depth=3 unchanged
+        by the depth parameter (the kernel-parity contract)."""
+        data = fixtures["text_large"] + fixtures["structured"][:20000]
+        assert golden.compress_deep(data) == \
+            golden.compress_deep(data, depth=3)
+        prev = None
+        for depth in (3, 4, 5):
+            c = golden.compress_deep(data, depth=depth)
+            assert golden.decompress(c, len(data)) == data
+            if prev is not None:
+                assert len(c) <= prev
+            prev = len(c)
+
     def test_size_overhead_vs_dense_is_small(self, fixtures):
         data = fixtures["text_large"]
         dense = len(golden.compress_dense(data, hashlog=16))
