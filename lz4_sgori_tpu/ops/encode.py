@@ -250,10 +250,16 @@ def compress_blocks_device(raw, raw_len, block_size: int,
             # round-3 seg section). Byte contract becomes
             # golden.compress_dense_seg (ratio ~0.991x LZ4 vs 0.989x
             # for compress_dense on the bench corpus).
-            depth = 3 if (match_depth or 1) > 1 else 1
+            # match_depth >= 4 selects the depth-5 chain mode (the
+            # dense_gaps2 tape, golden.compress_deep(depth=5), ~0.915x
+            # LZ4_compress_default) — served by the block-per-lane
+            # engine only: the seg engine's piecewise pass-1 carries no
+            # second gaps tape and caps at depth 3.
+            md = match_depth or 1
+            depth = 1 if md <= 1 else (3 if md <= 3 else 5)
             use_seg = impl == "seg" or (
                 impl == "auto" and on_tpu and 8192 <= block_size <= 65536
-                and block_size % 4096 == 0)
+                and block_size % 4096 == 0 and depth <= 3)
             if use_seg:
                 comp, comp_len, cost = compress_blocks_seg_dispatch(
                     raw, raw_len, block_size, acceleration, depth=depth,

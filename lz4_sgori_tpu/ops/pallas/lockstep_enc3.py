@@ -222,8 +222,12 @@ def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
     additionally writes gaps_ref rows p = (p << 16) | g2 | g3 << 8 —
     the chain gaps to the 2nd/3rd most recent same-bucket positions
     (golden.dense_gaps), read as rolled rows 2/3 of the bucket sort.
+    depth > 3 writes a second tape gaps2_ref with g4 | g5 << 8 to the
+    4th/5th chain entries (golden.dense_gaps2, rolled rows 4/5).
     """
-    if depth > 1:
+    if depth > 3:
+        gaps_ref, gaps2_ref, dens_ref = rest
+    elif depth > 1:
         gaps_ref, dens_ref = rest
     else:
         dens_ref, = rest
@@ -287,6 +291,20 @@ def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
                 | LK.shift_left_u(jnp.where(g3ok, g3, 0), 8)
             gaps_ref[g, pl.ds(c * ch, ch), :] = \
                 (LK.shift_left_u(pos, 16) | gaps) ^ jnp.int32(-0x80000000)
+            if depth > 3:
+                prev4 = jnp.concatenate([pr8[4:8], x[:ch - 4]], axis=0)
+                prev5 = jnp.concatenate([pr8[3:8], x[:ch - 5]], axis=0)
+                same4 = (bkt == LK.shift_right_u(prev4, 16)) & (grow > 3)
+                same5 = (bkt == LK.shift_right_u(prev5, 16)) & (grow > 4)
+                g4 = (prev3 & 0xFFFF) - (prev4 & 0xFFFF)
+                g5 = (prev4 & 0xFFFF) - (prev5 & 0xFFFF)
+                g4ok = g3ok & same4 & (g4 >= 1) & (g4 <= 254)
+                g5ok = g4ok & same5 & (g5 >= 1) & (g5 <= 254)
+                gaps2 = jnp.where(g4ok, g4, 0) \
+                    | LK.shift_left_u(jnp.where(g5ok, g5, 0), 8)
+                gaps2_ref[g, pl.ds(c * ch, ch), :] = \
+                    (LK.shift_left_u(pos, 16) | gaps2) \
+                    ^ jnp.int32(-0x80000000)
         # sort-2 key: row p = (p << 16) | d16[p]; pos >= 2^15 flips the
         # sign, so bias to unsigned order (unbiased in the output pass)
         cand_ref[g, pl.ds(c * ch, ch), :] = \
@@ -306,6 +324,15 @@ def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
             return carry
 
         jax.lax.fori_loop(0, nch, unbias_g, 0)
+    if depth > 3:
+        _sort_ref(gaps2_ref, g, NP)
+
+        def unbias_g2(c, carry):
+            gaps2_ref[g, pl.ds(c * ch, ch), :] = \
+                gaps2_ref[g, pl.ds(c * ch, ch), :] ^ jnp.int32(-0x80000000)
+            return carry
+
+        jax.lax.fori_loop(0, nch, unbias_g2, 0)
 
     def unbias(c, dens):
         x = cand_ref[g, pl.ds(c * ch, ch), :] ^ jnp.int32(-0x80000000)
@@ -331,7 +358,7 @@ def _cand_call(tapes, nlane, NP: int, interpret: bool, depth: int = 1):
     compile)."""
     sw = tapes.shape[1]
     ng = tapes.shape[0]
-    ntapes = 2 if depth > 1 else 1
+    ntapes = 3 if depth > 3 else 2 if depth > 1 else 1
     grid_ng = ng if _grid_fits(sw, ntapes * NP) else 1
     big = [pl.BlockSpec((1, NP, LANES), lambda g: (g, 0, 0))
            for _ in range(ntapes)]
@@ -378,6 +405,7 @@ def _cand_call(tapes, nlane, NP: int, interpret: bool, depth: int = 1):
 def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
                  wok: bool = True, depth: int = 1, gandw=None,
                  wb2=None, wb3=None, wbb1=None, wbb2=None, wbb3=None,
+                 gandw2=None, wb4=None, wb5=None, wbb4=None, wbb5=None,
                  seg_lims=None, lane_ok=None):
     """Advance every live lane one step of its mode.
 
@@ -506,6 +534,21 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
         gnx = jnp.where(srch_hit,
                         jnp.where(nxt_lo, selg_n & 0xFFFF,
                                   LK.shift_right_u(selg_n, 16)), gnx)
+    gp2 = st["gp2"] if depth > 3 else None
+    gnx2 = st["gnx2"] if depth > 3 else None
+    if depth > 3:
+        # 4th/5th chain gaps (g4|g5 tape) for pos and pos+1, same
+        # rolled-row extraction as gp/gnx
+        selg2 = jnp.sum(jnp.where(selrow, gandw2, 0), axis=0,
+                        keepdims=True)
+        hit_g2 = jnp.where(hit_lo_half, selg2 & 0xFFFF,
+                           LK.shift_right_u(selg2, 16))
+        gp2 = jnp.where(srch_hit, hit_g2, gp2)
+        selg2_n = jnp.sum(jnp.where(selrow_n, gandw2, 0), axis=0,
+                          keepdims=True)
+        gnx2 = jnp.where(srch_hit,
+                         jnp.where(nxt_lo, selg2_n & 0xFFFF,
+                                   LK.shift_right_u(selg2_n, 16)), gnx2)
     # loop B: replay the schedule through probes at offsets <= stop
     stop = jnp.where(srch_hit, first_hit, jnp.int32(2 * WPOS))
     fp_b, st_b, sm_b = fpos, step, smn
@@ -536,14 +579,20 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
         # wbb* was loaded by the wrapper from the dnx/gnx record)
         t20 = jnp.full((1, LANES), 20, jnp.int32)
 
-        def pick(fa_p, ref32, cands):
+        def pick(fa_p, ref32, cands, cap):
+            # cap: the oracle previews min(matchlimit - (p+MINMATCH),
+            # 64) — without it a far candidate matching past the
+            # matchlimit outscores a nearer one tied at the cap, and
+            # the nearest-wins tie-break inverts (observed as a single
+            # offset divergence near block end at depth 5)
             best = jnp.full((1, LANES), -1, jnp.int32)
             dwin = jnp.zeros((1, LANES), jnp.int32)
             anyok = jnp.zeros((1, LANES), bool)
             for wbk, dk, have in cands:
                 ok = have & (_r32(wbk, 16) == ref32)
-                mc = jnp.where(ok, jnp.minimum(
-                    _lead_eq(fa_p, funnel(wbk, t20, CAPW - 3)), 64), -1)
+                mc = jnp.where(ok, jnp.minimum(jnp.minimum(
+                    _lead_eq(fa_p, funnel(wbk, t20, CAPW - 3)), 64),
+                    cap), -1)
                 use = mc > best
                 best = jnp.maximum(best, mc)
                 dwin = jnp.where(use, dk, dwin)
@@ -553,29 +602,61 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
         fa_p = funnel(wa, t20, CAPW - 3)
         d2v = d + (gp & 255)
         d3v = d2v + LK.shift_right_u(gp, 8)
-        bestA, dwinA, anyokA = pick(fa_p, ra0, [
+        candsA = [
             (wb, d, g_vfy),
             (wb2, d2v, g_vfy & ((gp & 255) != 0)),
-            (wb3, d3v, g_vfy & (LK.shift_right_u(gp, 8) != 0))])
+            (wb3, d3v, g_vfy & (LK.shift_right_u(gp, 8) != 0))]
+        if depth > 3:
+            d4v = d3v + (gp2 & 255)
+            d5v = d4v + LK.shift_right_u(gp2, 8)
+            candsA += [
+                (wb4, d4v, g_vfy & ((gp2 & 255) != 0)),
+                (wb5, d5v, g_vfy & (LK.shift_right_u(gp2, 8) != 0))]
+        bestA, dwinA, anyokA = pick(fa_p, ra0, candsA,
+                                    matchlimit - (pos + F.MINMATCH))
         ra1 = _r32(wa, 17)
         fa_p1 = funnel(wa, t20 + 1, CAPW - 3)
         db2 = dnx + (gnx & 255)
         db3 = db2 + LK.shift_right_u(gnx, 8)
         lz = g_vfy & (pos + 1 <= mflimit)
-        bestB, dwinB, anyokB = pick(fa_p1, ra1, [
+        candsB = [
             (wbb1, dnx, lz & (dnx != 0)),
             (wbb2, db2, lz & (dnx != 0) & ((gnx & 255) != 0)),
             (wbb3, db3, lz & (dnx != 0)
-             & (LK.shift_right_u(gnx, 8) != 0))])
+             & (LK.shift_right_u(gnx, 8) != 0))]
+        if depth > 3:
+            db4 = db3 + (gnx2 & 255)
+            db5 = db4 + LK.shift_right_u(gnx2, 8)
+            candsB += [
+                (wbb4, db4, lz & (dnx != 0) & ((gnx2 & 255) != 0)),
+                (wbb5, db5, lz & (dnx != 0)
+                 & (LK.shift_right_u(gnx2, 8) != 0))]
+        bestB, dwinB, anyokB = pick(fa_p1, ra1, candsB,
+                                    matchlimit - (pos + 1 + F.MINMATCH))
         defer = anyokA & anyokB & (bestB > bestA)
         anyok = anyokA
         dwin = jnp.where(defer, dwinB, dwinA)
-        # the winner's source window, from the six loaded
+        # the winner's source window, from the loaded set (candidate
+        # distances are strictly increasing along a chain, so a dwin
+        # equality uniquely identifies the winner)
         useA2 = ~defer & (dwinA == d2v) & ((gp & 255) != 0)
         useA3 = ~defer & (dwinA == d3v) & (LK.shift_right_u(gp, 8) != 0)
         useB2 = defer & (dwinB == db2) & ((gnx & 255) != 0)
         useB3 = defer & (dwinB == db3) & (LK.shift_right_u(gnx, 8) != 0)
-        useB1 = defer & ~useB2 & ~useB3
+        if depth > 3:
+            useA4 = ~defer & (dwinA == d4v) & ((gp2 & 255) != 0)
+            useA5 = ~defer & (dwinA == d5v) \
+                & (LK.shift_right_u(gp2, 8) != 0)
+            useB4 = defer & (dwinB == db4) & ((gnx2 & 255) != 0)
+            useB5 = defer & (dwinB == db5) \
+                & (LK.shift_right_u(gnx2, 8) != 0)
+            useB1 = defer & ~useB2 & ~useB3 & ~useB4 & ~useB5
+            wb = jnp.where(_bcast(useB5, CAPW), wbb5,
+                 jnp.where(_bcast(useB4, CAPW), wbb4,
+                 jnp.where(_bcast(useA5, CAPW), wb5,
+                 jnp.where(_bcast(useA4, CAPW), wb4, wb))))
+        else:
+            useB1 = defer & ~useB2 & ~useB3
         wb = jnp.where(_bcast(useB3, CAPW), wbb3,
              jnp.where(_bcast(useB2, CAPW), wbb2,
              jnp.where(_bcast(useB1, CAPW), wbb1,
@@ -754,11 +835,14 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
         st2["gp"] = gp
         st2["dnx"] = dnx
         st2["gnx"] = gnx
+    if depth > 3:
+        st2["gp2"] = gp2
+        st2["gnx2"] = gnx2
     return st2, stag
 
 
-def _parse_kernel(src_ref, cand_ref, gaps_ref, n_ref, out_ref, len_ref,
-                  err_ref, tl_ref, ns_ref, *rest,
+def _parse_kernel(src_ref, cand_ref, gaps_ref, gaps2_ref, n_ref, out_ref,
+                  len_ref, err_ref, tl_ref, ns_ref, *rest,
                   SW: int, CPR: int, OR: int, accel: int, unroll: int = 2,
                   wb_band: int = 64, depth: int = 1, seg_w: int = 0,
                   far_every: int = 0, near_lim: int = 4096,
@@ -767,7 +851,8 @@ def _parse_kernel(src_ref, cand_ref, gaps_ref, n_ref, out_ref, len_ref,
         p1_ref, m1_ref = rest[0], rest[1]
         rest = rest[2:]
     (candw_ref, candb_ref, wa_ref, wb_ref, gandw_ref, wb2_ref, wb3_ref,
-     wbb1_ref, wbb2_ref, wbb3_ref, fl_ref) = rest
+     wbb1_ref, wbb2_ref, wbb3_ref, gandw2_ref, wb4_ref, wb5_ref,
+     wbb4_ref, wbb5_ref, fl_ref) = rest
     g = 0
     blog = BAND.bit_length() - 1
     wblog = wb_band.bit_length() - 1
@@ -805,6 +890,9 @@ def _parse_kernel(src_ref, cand_ref, gaps_ref, n_ref, out_ref, len_ref,
         st["gp"] = z
         st["dnx"] = z
         st["gnx"] = z
+    if depth > 3:
+        st["gp2"] = z
+        st["gnx2"] = z
     if debug_modes:
         st["dbg"] = _bcast(z, 16)
     fl_ref[...] = z
@@ -891,6 +979,9 @@ def _parse_kernel(src_ref, cand_ref, gaps_ref, n_ref, out_ref, len_ref,
             if depth > 1:
                 gandw_ref[...] = extract_rows_banded(
                     gaps_ref, g, crb, LCP, CPR, bounds=(c_lo, c_hi))
+            if depth > 3:
+                gandw2_ref[...] = extract_rows_banded(
+                    gaps2_ref, g, crb, LCP, CPR, bounds=(c_lo, c_hi))
 
         @pl.when(((packed1 >> 8) & 255) != 0)
         def _load_wa():
@@ -917,6 +1008,17 @@ def _parse_kernel(src_ref, cand_ref, gaps_ref, n_ref, out_ref, len_ref,
                         st["pos"] + 1 - dnx - 16, st["pos"] + 1 - db2 - 16,
                         st["pos"] + 1 - db3 - 16]
                 refs = [wb2_ref, wb3_ref, wbb1_ref, wbb2_ref, wbb3_ref]
+                if depth > 3:
+                    gp2 = st["gp2"]
+                    d4 = d3 + (gp2 & 255)
+                    d5 = d4 + LK.shift_right_u(gp2, 8)
+                    gnx2 = st["gnx2"]
+                    db4 = db3 + (gnx2 & 255)
+                    db5 = db4 + LK.shift_right_u(gnx2, 8)
+                    addr += [st["pos"] - d4 - 16, st["pos"] - d5 - 16,
+                             st["pos"] + 1 - db4 - 16,
+                             st["pos"] + 1 - db5 - 16]
+                    refs += [wb4_ref, wb5_ref, wbb4_ref, wbb5_ref]
                 for wk_addr, wk_ref in zip(addr, refs):
                     wkc = jnp.where(g_abs, wk_addr, wb_lo)
                     # independent walk bounds: these windows' addresses
@@ -963,6 +1065,11 @@ def _parse_kernel(src_ref, cand_ref, gaps_ref, n_ref, out_ref, len_ref,
                 wbb1=wbb1_ref[...] if depth > 1 else None,
                 wbb2=wbb2_ref[...] if depth > 1 else None,
                 wbb3=wbb3_ref[...] if depth > 1 else None,
+                gandw2=gandw2_ref[...] if depth > 3 else None,
+                wb4=wb4_ref[...] if depth > 3 else None,
+                wb5=wb5_ref[...] if depth > 3 else None,
+                wbb4=wbb4_ref[...] if depth > 3 else None,
+                wbb5=wbb5_ref[...] if depth > 3 else None,
                 seg_lims=seg_lims, lane_ok=served)
         if debug_modes:
             st2["dbg"] = dbg + inc
@@ -1076,7 +1183,11 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
     nlane = gl.reshape(ng, 1, LANES)
 
     # ---- pass 1: candidates ----
-    if depth > 1:
+    gaps2 = None
+    if depth > 3:
+        cand, gaps, gaps2, dens = _cand_call(tapes, nlane, np_,
+                                             interpret, depth=depth)
+    elif depth > 1:
         cand, gaps, dens = _cand_call(tapes, nlane, np_, interpret,
                                       depth=depth)
     else:
@@ -1091,6 +1202,8 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
     cpr = np_ // 2
     gaps = _pack_cand(gaps) if depth > 1 else \
         jnp.zeros((ng, 8, LANES), jnp.int32)
+    gaps2 = _pack_cand(gaps2) if depth > 3 else \
+        jnp.zeros((ng, 8, LANES), jnp.int32)
 
     # ---- regroup by density (slowest blocks share groups) ----
     if group_sort and ng > 1:
@@ -1101,6 +1214,8 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
         cand = _permute_blocks(cand, order)
         if depth > 1:
             gaps = _permute_blocks(gaps, order)
+        if depth > 3:
+            gaps2 = _permute_blocks(gaps2, order)
         gl_s = gl.reshape(-1)[order].reshape(ng, LANES)
         nlane = gl_s.reshape(ng, 1, LANES)
 
@@ -1111,10 +1226,11 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
     # materialize every parse input: mixed producer fusions (pack/pad/
     # dens concat + per-group slices) repeatedly tip over the 16 MB
     # scoped-fusion limit at high group counts
-    tapes, cand, gaps, nlane = jax.lax.optimization_barrier(
-        (tapes, cand, gaps, nlane))
+    tapes, cand, gaps, gaps2, nlane = jax.lax.optimization_barrier(
+        (tapes, cand, gaps, gaps2, nlane))
     gpr = gaps.shape[1]
-    grid_ng = ng if _grid_fits(sw, cpr, gpr, orr) else 1
+    gpr2 = gaps2.shape[1]
+    grid_ng = ng if _grid_fits(sw, cpr, gpr, gpr2, orr) else 1
     parse_call = pl.pallas_call(
         functools.partial(_parse_kernel, SW=sw, CPR=cpr, OR=orr,
                           accel=accel, unroll=unroll, wb_band=wb_band,
@@ -1125,6 +1241,7 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
             pl.BlockSpec((1, sw, LANES), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, cpr, LANES), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, gpr, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, gpr2, LANES), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
         ],
         out_specs=[
@@ -1152,6 +1269,11 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
             pltpu.VMEM((CAPW, LANES), jnp.int32),      # wbb1 (lazy)
             pltpu.VMEM((CAPW, LANES), jnp.int32),      # wbb2 (lazy)
             pltpu.VMEM((CAPW, LANES), jnp.int32),      # wbb3 (lazy)
+            pltpu.VMEM((LCP, LANES), jnp.int32),       # gaps2 window
+            pltpu.VMEM((CAPW, LANES), jnp.int32),      # wb4 (depth 5)
+            pltpu.VMEM((CAPW, LANES), jnp.int32),      # wb5 (depth 5)
+            pltpu.VMEM((CAPW, LANES), jnp.int32),      # wbb4 (depth 5)
+            pltpu.VMEM((CAPW, LANES), jnp.int32),      # wbb5 (depth 5)
             pltpu.VMEM((1, LANES), jnp.int32),         # flush frontier
         ],
         interpret=interpret,
@@ -1160,12 +1282,12 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
     )
     if grid_ng == ng:
         out, out_len, err, tails, nseq = parse_call(tapes, cand, gaps,
-                                                    nlane)
+                                                    gaps2, nlane)
     else:
         # one invocation per group: a multi-group grid double-buffers the
         # 32 MB cand input window and blows VMEM
         parts = [parse_call(tapes[g:g + 1], cand[g:g + 1], gaps[g:g + 1],
-                            nlane[g:g + 1])
+                            gaps2[g:g + 1], nlane[g:g + 1])
                  for g in range(ng)]
         out = jax.lax.optimization_barrier(
             jnp.concatenate([p[0] for p in parts], axis=0))
@@ -1328,6 +1450,9 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
     if block_size > 65536 and block_size % 65536:
         raise ValueError("blocks > 64 KiB must be multiples of 64 KiB "
                          "(piecewise pass-1 stretches)")
+    # the seg engine caps at depth 3: its piecewise pass-1 carries no
+    # second gaps tape (golden.compress_dense_seg contract)
+    depth = min(depth, 3)
     nseg = block_size // seg
     raw = jnp.asarray(raw, jnp.uint8)
     raw_len = jnp.asarray(raw_len, jnp.int32)
@@ -1490,6 +1615,7 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
             pl.BlockSpec((1, cpr, LANES), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, gpr, LANES), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, 8, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, 8, LANES), lambda g: (g, 0, 0)),
         ],
         out_specs=[pl.BlockSpec((1, orr, LANES), lambda g: (g, 0, 0))] + [
             pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0))
@@ -1508,17 +1634,26 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
             pltpu.VMEM((CAPW, LANES), jnp.int32),      # wbb1 (lazy)
             pltpu.VMEM((CAPW, LANES), jnp.int32),      # wbb2 (lazy)
             pltpu.VMEM((CAPW, LANES), jnp.int32),      # wbb3 (lazy)
+            pltpu.VMEM((LCP, LANES), jnp.int32),       # gaps2 window
+            pltpu.VMEM((CAPW, LANES), jnp.int32),      # wb4 (depth 5)
+            pltpu.VMEM((CAPW, LANES), jnp.int32),      # wb5 (depth 5)
+            pltpu.VMEM((CAPW, LANES), jnp.int32),      # wbb4 (depth 5)
+            pltpu.VMEM((CAPW, LANES), jnp.int32),      # wbb5 (depth 5)
             pltpu.VMEM((1, LANES), jnp.int32),         # flush frontier
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
     )
+    # the seg engine caps at depth 3 (piecewise candidates carry no
+    # second gaps tape); the input is a placeholder
+    gap2seg = jnp.zeros((ng2, 8, LANES), jnp.int32)
     if grid_ng == ng2:
-        outs = parse_call(tapes, candseg, gapseg, lims)
+        outs = parse_call(tapes, candseg, gapseg, gap2seg, lims)
     else:
         parts = [parse_call(tapes[g:g + 1], candseg[g:g + 1],
-                            gapseg[g:g + 1], lims[g:g + 1])
+                            gapseg[g:g + 1], gap2seg[g:g + 1],
+                            lims[g:g + 1])
                  for g in range(ng2)]
         outs = tuple(jax.lax.optimization_barrier(
             jnp.concatenate([p[i] for p in parts], axis=0))

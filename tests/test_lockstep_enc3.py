@@ -226,3 +226,40 @@ def test_enc3_deep_parity():
         tot_deep += len(want)
         tot_greedy += len(golden.compress_dense(b, hashlog=16))
     assert tot_deep <= tot_greedy
+
+
+def test_enc3_depth5_parity():
+    """depth=5 engine (dense_gaps2 second tape): byte-exact vs
+    golden.compress_deep(depth=5), never larger than depth 3 in
+    aggregate."""
+    from __graft_entry__ import _synth_corpus
+    from lz4_sgori_tpu.ops.pallas.lockstep_enc3 import (
+        compress_blocks_lockstep_enc3)
+    rng = np.random.RandomState(23)
+    bs = 1024
+    blocks = [
+        _synth_corpus(bs, seed=5),
+        (bytes(rng.randint(0, 256, 96).astype(np.uint8)) * 12)[:bs],
+        bytes(rng.randint(0, 4, bs).astype(np.uint8)),
+        bytes(bs),
+        bytes(rng.randint(0, 256, bs).astype(np.uint8)),
+        b"deeper" * 5,
+    ]
+    raw = np.zeros((len(blocks), bs), np.uint8)
+    rlen = np.zeros(len(blocks), np.int32)
+    for j, b in enumerate(blocks):
+        raw[j, :len(b)] = np.frombuffer(b, np.uint8)
+        rlen[j] = len(b)
+    comp, clen, err = compress_blocks_lockstep_enc3(
+        raw, rlen, bs, interpret=True, depth=5)
+    comp = np.asarray(comp)
+    tot5 = tot3 = 0
+    for j, b in enumerate(blocks):
+        want = golden.compress_deep(b, depth=5)
+        assert not bool(err[j]), f"block {j}: err"
+        got = bytes(comp[j, :int(clen[j])])
+        assert got == want, f"block {j}: {len(got)}B vs {len(want)}B"
+        assert golden.decompress(got, len(b)) == b
+        tot5 += len(want)
+        tot3 += len(golden.compress_deep(b))
+    assert tot5 <= tot3
