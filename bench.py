@@ -464,6 +464,24 @@ def main() -> None:
                    for i in range(16))
         xla_vs_lz4 = xla_total / lz4x
     _log(f"config 5b: XLA max-ratio engine size vs lz4 {xla_vs_lz4}")
+    # depth-5 kernel mode (round 4: the dense_gaps2 second chain tape)
+    # on a 16 MiB slice at 32 KiB blocks (the mode's VMEM envelope):
+    # matches the XLA engine's ratio class at kernel speed (measured
+    # 0.9147x vs 0.9141x on the config-5-style corpus)
+    bs5c = 32768
+    base5c = base5[:16 << 20]
+    raw5c_np, rlen5c_np = split_blocks(base5c, bs5c)
+    c5c, cl5c = compress_blocks_device(
+        jax.device_put(raw5c_np, dev), jax.device_put(rlen5c_np, dev),
+        bs5c, match_depth=5)
+    d5_total = int(jnp.sum(cl5c))
+    deep5_vs_lz4 = None
+    if oracle.available():
+        lz45c = sum(len(oracle.compress(base5c[i:i + bs5c]))
+                    for i in range(0, len(base5c), bs5c))
+        deep5_vs_lz4 = d5_total / lz45c
+    _log(f"config 5c: depth-5 kernel (32 KiB blocks) size vs lz4 "
+         f"{deep5_vs_lz4}")
 
     # --- large blocks: 1 MiB (the fio envelope's upper half; closes the
     # round-3 ratio blind spot where the old 64 KiB splice truncated the
@@ -557,6 +575,8 @@ def main() -> None:
         "deep_corpus": f"{deep_mib}MiB distinct (enc3 depth-3 kernel)",
         "deep_xla_size_vs_lz4": (round(xla_vs_lz4, 4)
                                  if xla_vs_lz4 else None),
+        "deep5_size_vs_lz4": (round(deep5_vs_lz4, 4)
+                              if deep5_vs_lz4 else None),
         "baseline_protocol": baseline_protocol,
         "hbm_peak_gbps": hbm_peak,
         "hbm_fraction": (round(dec_gbps / hbm_peak, 5)
