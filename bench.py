@@ -45,6 +45,22 @@ CORPUS_MB = 32
 # therefore carry the whole corpus (block counts here are 128-multiples)
 
 
+def _retry(fn, tries: int = 3, delay: float = 15.0):
+    """Retry a device call across transient axon-proxy failures (the
+    remote compile channel occasionally drops mid-body: 'response body
+    closed before all bytes were read'). Compiles are cached, so a
+    retry after a dropped compile usually lands instantly."""
+    for t in range(tries):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - proxy errors vary
+            if t == tries - 1:
+                raise
+            _log(f"# transient device failure ({e.__class__.__name__}); "
+                 f"retry {t + 1}/{tries - 1} in {delay:.0f}s")
+            time.sleep(delay)
+
+
 def _log(msg: str) -> None:
     print(f"# {msg}", file=sys.stderr, flush=True)
 
@@ -176,7 +192,7 @@ def main() -> None:
         return int(acc)
 
     _log("compiling + warming encode...")
-    comp_dev, clen_dev, cost_dev, comp_total = run_encode()
+    comp_dev, clen_dev, cost_dev, comp_total = _retry(run_encode)
     _log("timing encode...")
     t_enc = _time_diff(launch_encode, K=2)
     enc_gbps = len(data) / t_enc / 1e9
@@ -215,7 +231,7 @@ def main() -> None:
         return int(acc)
 
     _log("compiling + warming decode...")
-    dec_out, errs, lens = run_decode()
+    dec_out, errs, lens = _retry(run_decode)
     assert errs == 0, "bench corpus failed to decode"
     assert lens == len(data), (lens, len(data))
     # on-device bit-exactness check against the original raw blocks
@@ -343,7 +359,7 @@ def main() -> None:
         return int(acc)
 
     _log("config 2 (enwik8-like, 256 KiB blocks): compiling decode...")
-    out2, errs2, lens2 = run_dec2()
+    out2, errs2, lens2 = _retry(run_dec2)
     assert errs2 == 0 and lens2 == len(text), (errs2, lens2)
     valid2 = jnp.arange(bs2)[None, :] < rlen2[:, None]
     assert int(jnp.sum(jnp.where(valid2, out2 != raw2, False))) == 0
@@ -429,7 +445,7 @@ def main() -> None:
     _log(f"config 5 (deep match, {deep_mib} MiB distinct corpus): "
          "compiling...")
     t0 = time.perf_counter()
-    comp5, clen5, deep_total = run_deep()
+    comp5, clen5, deep_total = _retry(run_deep)
     _log(f"deep warmup+compile {time.perf_counter() - t0:.1f}s")
     # decode-verify the deep stream on device (cross-engine: deep encode,
     # lockstep decode)
@@ -471,9 +487,9 @@ def main() -> None:
     bs5c = 32768
     base5c = base5[:16 << 20]
     raw5c_np, rlen5c_np = split_blocks(base5c, bs5c)
-    c5c, cl5c = compress_blocks_device(
+    c5c, cl5c = _retry(lambda: compress_blocks_device(
         jax.device_put(raw5c_np, dev), jax.device_put(rlen5c_np, dev),
-        bs5c, match_depth=5)
+        bs5c, match_depth=5))
     d5_total = int(jnp.sum(cl5c))
     deep5_vs_lz4 = None
     if oracle.available():
@@ -501,7 +517,7 @@ def main() -> None:
         return c, cl, int(jnp.sum(cl))
 
     _log(f"config 6 (1 MiB blocks, {big_mib} MiB): compiling encode...")
-    comp6, clen6, total6 = run_enc6()
+    comp6, clen6, total6 = _retry(run_enc6)
     # liblz4 must decode every block bit-exactly (cross-implementation
     # contract) and the size contract holds per aggregate
     clen6_np = np.asarray(clen6)
@@ -537,7 +553,8 @@ def main() -> None:
         return int(acc)
 
     _log("config 6: compiling 1 MiB decode (v8)...")
-    out6, ln6, e6 = decompress_blocks_device(comp6p, clen6, bs6)
+    out6, ln6, e6 = _retry(
+        lambda: decompress_blocks_device(comp6p, clen6, bs6))
     assert int(jnp.sum(e6)) == 0, "1 MiB decode errors"
     valid6 = jnp.arange(bs6)[None, :] < rlen6[:, None]
     assert int(jnp.sum(jnp.where(valid6, out6 != raw6, False))) == 0
