@@ -480,23 +480,22 @@ def main() -> None:
                    for i in range(16))
         xla_vs_lz4 = xla_total / lz4x
     _log(f"config 5b: XLA max-ratio engine size vs lz4 {xla_vs_lz4}")
-    # depth-5 kernel mode (round 4: the dense_gaps2 second chain tape)
-    # on a 16 MiB slice at 32 KiB blocks (the mode's VMEM envelope):
-    # matches the XLA engine's ratio class at kernel speed (measured
-    # 0.9147x vs 0.9141x on the config-5-style corpus)
-    bs5c = 32768
-    base5c = base5[:16 << 20]
-    raw5c_np, rlen5c_np = split_blocks(base5c, bs5c)
+    # depth-5 kernel mode (round 4: the dense_gaps2 second chain tape,
+    # fed by a second gaps2-only pass-1 call so peak VMEM stays at the
+    # depth-3 level) on an 8 MiB slice at the SAME 64 KiB blocks as
+    # config 5: matches the XLA engine's ratio class at kernel speed
+    # (0.9171x vs 0.9141x; depth 3 measures 0.9304x)
+    n5c = (8 << 20) // BLOCK_SIZE
     c5c, cl5c = _retry(lambda: compress_blocks_device(
-        jax.device_put(raw5c_np, dev), jax.device_put(rlen5c_np, dev),
-        bs5c, match_depth=5))
+        raw5[:n5c], rlen5[:n5c], BLOCK_SIZE, match_depth=5))
     d5_total = int(jnp.sum(cl5c))
     deep5_vs_lz4 = None
     if oracle.available():
-        lz45c = sum(len(oracle.compress(base5c[i:i + bs5c]))
-                    for i in range(0, len(base5c), bs5c))
+        lz45c = sum(len(oracle.compress(base5[i * BLOCK_SIZE:
+                                              (i + 1) * BLOCK_SIZE]))
+                    for i in range(n5c))
         deep5_vs_lz4 = d5_total / lz45c
-    _log(f"config 5c: depth-5 kernel (32 KiB blocks) size vs lz4 "
+    _log(f"config 5c: depth-5 kernel (64 KiB blocks) size vs lz4 "
          f"{deep5_vs_lz4}")
 
     # --- large blocks: 1 MiB (the fio envelope's upper half; closes the

@@ -251,15 +251,14 @@ def compress_blocks_device(raw, raw_len, block_size: int,
             # golden.compress_dense_seg (ratio ~0.991x LZ4 vs 0.989x
             # for compress_dense on the bench corpus).
             # match_depth >= 4 selects the depth-5 chain mode (the
-            # dense_gaps2 tape, golden.compress_deep(depth=5), ~0.915x
-            # LZ4_compress_default) — served by the block-per-lane
-            # engine only: the seg engine's piecewise pass-1 carries no
-            # second gaps tape and caps at depth 3. Blocks above 32 KiB
-            # also cap at depth 3: the third NP-row candidate tape blows
-            # VMEM at 64 KiB (measured 154M vs the 128M budget).
+            # dense_gaps2 tape via a second gaps2-only pass-1 call so
+            # peak VMEM stays at the depth-3 level;
+            # golden.compress_deep(depth=5), 0.9171x
+            # LZ4_compress_default at 64 KiB) — served by the
+            # block-per-lane engine only: the seg engine's piecewise
+            # pass-1 carries no second gaps tape and caps at depth 3.
             md = match_depth or 1
-            depth = 1 if md <= 1 else (
-                5 if md >= 4 and block_size <= 32768 else 3)
+            depth = 1 if md <= 1 else (5 if md >= 4 else 3)
             use_seg = impl == "seg" or (
                 impl == "auto" and on_tpu and 8192 <= block_size <= 65536
                 and block_size % 4096 == 0 and depth <= 3)

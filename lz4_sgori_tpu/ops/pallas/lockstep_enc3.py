@@ -213,7 +213,7 @@ def _sort_ref(ref, g, NP: int):
 
 
 def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
-                 depth: int = 1):
+                 depth: int = 1, gaps2_only: bool = False):
     """Dense hash16 candidates for one 128-lane group.
 
     Writes cand_ref rows p = (p << 16) | d16[p] (d16 in the low half —
@@ -222,12 +222,14 @@ def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
     additionally writes gaps_ref rows p = (p << 16) | g2 | g3 << 8 —
     the chain gaps to the 2nd/3rd most recent same-bucket positions
     (golden.dense_gaps), read as rolled rows 2/3 of the bucket sort.
-    depth > 3 writes a second tape gaps2_ref with g4 | g5 << 8 to the
-    4th/5th chain entries (golden.dense_gaps2, rolled rows 4/5).
+    gaps2_only: the single output tape carries g4 | g5 << 8 to the
+    4th/5th chain entries instead of d16 (golden.dense_gaps2, rolled
+    rows 4/5) — the depth-5 mode's SECOND pass-1 invocation, kept
+    separate so peak VMEM stays at the depth-3 level (a third NP-row
+    output alongside cand+gaps measured 154M vs the 128M budget at
+    64 KiB blocks).
     """
-    if depth > 3:
-        gaps_ref, gaps2_ref, dens_ref = rest
-    elif depth > 1:
+    if depth > 1:
         gaps_ref, dens_ref = rest
     else:
         dens_ref, = rest
@@ -278,7 +280,7 @@ def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
         grow = iota_c + c * ch
         first = grow > 0
         d16 = jnp.where(same & valid & first, d, 0)
-        if depth > 1:
+        if depth > 1 or gaps2_only:
             prev2 = jnp.concatenate([pr8[6:8], x[:ch - 2]], axis=0)
             prev3 = jnp.concatenate([pr8[5:8], x[:ch - 3]], axis=0)
             same2 = (bkt == LK.shift_right_u(prev2, 16)) & (grow > 1)
@@ -287,28 +289,31 @@ def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
             g3 = (prev2 & 0xFFFF) - (prev3 & 0xFFFF)
             g2ok = (d16 != 0) & same2 & (g2 >= 1) & (g2 <= 254)
             g3ok = g2ok & same3 & (g3 >= 1) & (g3 <= 254)
-            gaps = jnp.where(g2ok, g2, 0) \
-                | LK.shift_left_u(jnp.where(g3ok, g3, 0), 8)
-            gaps_ref[g, pl.ds(c * ch, ch), :] = \
-                (LK.shift_left_u(pos, 16) | gaps) ^ jnp.int32(-0x80000000)
-            if depth > 3:
-                prev4 = jnp.concatenate([pr8[4:8], x[:ch - 4]], axis=0)
-                prev5 = jnp.concatenate([pr8[3:8], x[:ch - 5]], axis=0)
-                same4 = (bkt == LK.shift_right_u(prev4, 16)) & (grow > 3)
-                same5 = (bkt == LK.shift_right_u(prev5, 16)) & (grow > 4)
-                g4 = (prev3 & 0xFFFF) - (prev4 & 0xFFFF)
-                g5 = (prev4 & 0xFFFF) - (prev5 & 0xFFFF)
-                g4ok = g3ok & same4 & (g4 >= 1) & (g4 <= 254)
-                g5ok = g4ok & same5 & (g5 >= 1) & (g5 <= 254)
-                gaps2 = jnp.where(g4ok, g4, 0) \
-                    | LK.shift_left_u(jnp.where(g5ok, g5, 0), 8)
-                gaps2_ref[g, pl.ds(c * ch, ch), :] = \
-                    (LK.shift_left_u(pos, 16) | gaps2) \
+            if not gaps2_only:
+                gaps = jnp.where(g2ok, g2, 0) \
+                    | LK.shift_left_u(jnp.where(g3ok, g3, 0), 8)
+                gaps_ref[g, pl.ds(c * ch, ch), :] = \
+                    (LK.shift_left_u(pos, 16) | gaps) \
                     ^ jnp.int32(-0x80000000)
-        # sort-2 key: row p = (p << 16) | d16[p]; pos >= 2^15 flips the
-        # sign, so bias to unsigned order (unbiased in the output pass)
-        cand_ref[g, pl.ds(c * ch, ch), :] = \
-            (LK.shift_left_u(pos, 16) | d16) ^ jnp.int32(-0x80000000)
+        if gaps2_only:
+            prev4 = jnp.concatenate([pr8[4:8], x[:ch - 4]], axis=0)
+            prev5 = jnp.concatenate([pr8[3:8], x[:ch - 5]], axis=0)
+            same4 = (bkt == LK.shift_right_u(prev4, 16)) & (grow > 3)
+            same5 = (bkt == LK.shift_right_u(prev5, 16)) & (grow > 4)
+            g4 = (prev3 & 0xFFFF) - (prev4 & 0xFFFF)
+            g5 = (prev4 & 0xFFFF) - (prev5 & 0xFFFF)
+            g4ok = g3ok & same4 & (g4 >= 1) & (g4 <= 254)
+            g5ok = g4ok & same5 & (g5 >= 1) & (g5 <= 254)
+            gaps2 = jnp.where(g4ok, g4, 0) \
+                | LK.shift_left_u(jnp.where(g5ok, g5, 0), 8)
+            cand_ref[g, pl.ds(c * ch, ch), :] = \
+                (LK.shift_left_u(pos, 16) | gaps2) ^ jnp.int32(-0x80000000)
+        else:
+            # sort-2 key: row p = (p << 16) | d16[p]; pos >= 2^15 flips
+            # the sign, so bias to unsigned order (unbiased in the
+            # output pass)
+            cand_ref[g, pl.ds(c * ch, ch), :] = \
+                (LK.shift_left_u(pos, 16) | d16) ^ jnp.int32(-0x80000000)
         return carry
 
     jax.lax.fori_loop(0, nch, d16_body, 0)
@@ -324,15 +329,6 @@ def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
             return carry
 
         jax.lax.fori_loop(0, nch, unbias_g, 0)
-    if depth > 3:
-        _sort_ref(gaps2_ref, g, NP)
-
-        def unbias_g2(c, carry):
-            gaps2_ref[g, pl.ds(c * ch, ch), :] = \
-                gaps2_ref[g, pl.ds(c * ch, ch), :] ^ jnp.int32(-0x80000000)
-            return carry
-
-        jax.lax.fori_loop(0, nch, unbias_g2, 0)
 
     def unbias(c, dens):
         x = cand_ref[g, pl.ds(c * ch, ch), :] ^ jnp.int32(-0x80000000)
@@ -350,22 +346,26 @@ def _grid_fits(*buffers) -> bool:
     return 2 * sum(buffers) * LANES * 4 < 60 * 1024 * 1024
 
 
-def _cand_call(tapes, nlane, NP: int, interpret: bool, depth: int = 1):
+def _cand_call(tapes, nlane, NP: int, interpret: bool, depth: int = 1,
+               gaps2_only: bool = False):
     """Small blocks run one multi-group grid; large blocks invoke per
     group (a multi-group grid double-buffers the 32 MB cand output and
     blows VMEM, while per-group output concats of SMALL pieces trigger
     oversized XLA concat fusions — each regime gets the shape it can
-    compile)."""
+    compile). The depth-5 mode's second gaps tape comes from a separate
+    gaps2_only invocation (single output tape) so peak VMEM never
+    exceeds the depth-3 two-tape level."""
     sw = tapes.shape[1]
     ng = tapes.shape[0]
-    ntapes = 3 if depth > 3 else 2 if depth > 1 else 1
+    ntapes = 2 if depth > 1 else 1
     grid_ng = ng if _grid_fits(sw, ntapes * NP) else 1
     big = [pl.BlockSpec((1, NP, LANES), lambda g: (g, 0, 0))
            for _ in range(ntapes)]
 
     def mk(gn):
         return pl.pallas_call(
-            functools.partial(_cand_kernel, NP=NP, depth=depth),
+            functools.partial(_cand_kernel, NP=NP, depth=depth,
+                              gaps2_only=gaps2_only),
             grid=(gn,),
             in_specs=[
                 pl.BlockSpec((1, sw, LANES), lambda g: (g, 0, 0)),
@@ -1184,12 +1184,12 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
 
     # ---- pass 1: candidates ----
     gaps2 = None
-    if depth > 3:
-        cand, gaps, gaps2, dens = _cand_call(tapes, nlane, np_,
-                                             interpret, depth=depth)
-    elif depth > 1:
+    if depth > 1:
         cand, gaps, dens = _cand_call(tapes, nlane, np_, interpret,
                                       depth=depth)
+        if depth > 3:
+            gaps2, _ = _cand_call(tapes, nlane, np_, interpret,
+                                  gaps2_only=True)
     else:
         cand, dens = _cand_call(tapes, nlane, np_, interpret)
         gaps = None
