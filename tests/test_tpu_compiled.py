@@ -342,3 +342,21 @@ def test_compiled_v9_chain_parity(fixtures):
         assert not err[j], j
         assert int(out_len[j]) == len(r), j
         assert out[j, :len(r)].tobytes() == r, j
+
+
+def test_compiled_enc3_depth5_parity(fixtures):
+    """depth=5 (match_depth >= 4) mode: compiled parity vs
+    compress_deep(depth=5) — the dense_gaps2 second chain tape fed by
+    the gaps2-only pass-1 invocation."""
+    from lz4_sgori_tpu.ops.pallas.lockstep_enc3 import (
+        compress_blocks_lockstep_enc3)
+
+    names = ["text_small", "rle_period3", "structured", "random_4k"]
+    raws = [fixtures[n][:BS] for n in names]
+    raw, rlen = _pack(raws, BS)
+    comp, clen, err = compress_blocks_lockstep_enc3(raw, rlen, BS, depth=5)
+    comp, clen, err = np.asarray(comp), np.asarray(clen), np.asarray(err)
+    for j, data in enumerate(raws):
+        assert not err[j], names[j]
+        want = golden.compress_deep(data, depth=5)
+        assert comp[j, :clen[j]].tobytes() == want, names[j]
