@@ -158,9 +158,11 @@ def compress(data: bytes, block_size: int = DEFAULT_BLOCK_SIZE, *,
 
     ``match_depth`` is the ratio knob: the number of prior occurrences
     evaluated per position (the hash-chain-depth analog of an HC mode;
-    1 = greedy level-1 with LZ4_compress_default parity, 3+ = deep-match
-    mode on the exhaustive engine). ``acceleration`` is the speed knob
-    with LZ4_compress_fast semantics (greedy path only).
+    1 = greedy level-1 with LZ4_compress_default parity, 2-3 = the
+    kernel deep mode on TPU (best-of-3 chains, ~0.930x lz4's size),
+    >= 4 = the depth-5 chain mode (~0.917x); CPU backends serve deep
+    requests with the exhaustive XLA engine). ``acceleration`` is the
+    speed knob with LZ4_compress_fast semantics (greedy path only).
     ``size_dominance`` re-encodes any block on the host that came out
     larger than LZ4_compress_default would make it (belt-and-braces for
     non-parity engines; the greedy kernel path is byte-identical anyway).
