@@ -360,3 +360,42 @@ def test_compiled_enc3_depth5_parity(fixtures):
         assert not err[j], names[j]
         want = golden.compress_deep(data, depth=5)
         assert comp[j, :clen[j]].tobytes() == want, names[j]
+
+
+def test_compiled_v9_fuzz(fixtures):
+    """512 corrupted streams through the compiled v9 CHAINED decoder
+    (chain=2: every lane decodes two independent mutants back-to-back):
+    strict err equivalence with golden per chain slot — an errored or
+    truncated block must neither poison nor borrow bytes from its
+    lane's next block."""
+    from lz4_sgori_tpu.ops.pallas.lockstep_v9 import (
+        decompress_blocks_lockstep_v9)
+
+    rng = np.random.default_rng(0xBEEF9)
+    bases = [bytes(golden.compress(fixtures[n][:BS]))
+             for n in ("text_small", "zeros_4k", "rle_period3",
+                       "random_4k", "structured", "mixed")]
+    slot = F.compress_bound(BS) + 8
+    muts = make_mutants(bases, rng, 512, slot)
+    comp, clen = _pack(muts, slot)
+    out, olen, err = decompress_blocks_lockstep_v9(
+        comp, clen, BS, chain=2, sr=512)
+    out = np.asarray(out)
+    olen = np.asarray(olen)
+    err = np.asarray(err)
+    n_acc = n_rej = 0
+    for j, m in enumerate(muts):
+        try:
+            want = golden.decompress(m, BS)
+            ok_ref = True
+        except ValueError:
+            ok_ref = False
+        assert bool(err[j]) == (not ok_ref), \
+            f"mutant {j}: v9 err={bool(err[j])} golden ok={ok_ref}"
+        if ok_ref:
+            n_acc += 1
+            assert olen[j] == len(want), j
+            assert out[j, :olen[j]].tobytes() == want, j
+        else:
+            n_rej += 1
+    assert n_acc >= 16 and n_rej >= 128, (n_acc, n_rej)
