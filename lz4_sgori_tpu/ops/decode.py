@@ -165,9 +165,13 @@ def decompress_blocks_device(comp, comp_len, out_size: int,
             and 16384 <= out_size <= 131072):
         from .pallas.lockstep_v7 import decompress_blocks_lockstep_v7
         # unroll=6 measured best on v5e (0.786 vs 0.734 at u=4: optA's
-        # flush-on-demand far service amortizes deeper unrolls)
+        # flush-on-demand far service amortizes deeper unrolls);
+        # transfers=1 measured 38.6 vs 41.3 ms with cost-key grouping
+        # (one frame-select pass per round is enough — the second
+        # mostly runs idle and its selects are pure cost; 3 is worse
+        # still at 47.3)
         out, out_len, err = decompress_blocks_lockstep_v7(
-            comp, comp_len, out_size, sr=512, unroll=6,
+            comp, comp_len, out_size, sr=512, unroll=6, transfers=1,
             sort_key=cost_key, interpret=not on_tpu)
     elif impl == "lockstep_v6" or (
             impl == "auto" and on_tpu and out_size <= V7_MAX_BLOCK):
