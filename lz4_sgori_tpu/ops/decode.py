@@ -157,8 +157,10 @@ def decompress_blocks_device(comp, comp_len, out_size: int,
     if impl == "lockstep_v8" or (impl == "auto" and on_tpu
                                  and out_size > V7_MAX_BLOCK):
         from .pallas.lockstep_v8 import decompress_blocks_lockstep_v8
+        # transfers=1: same finding as v7 (0.202 vs 0.197 GB/s at
+        # 512 KiB, bit-exact) — the second frame-select pass is cost
         out, out_len, err = decompress_blocks_lockstep_v8(
-            comp, comp_len, out_size, sr=512, unroll=4,
+            comp, comp_len, out_size, sr=512, unroll=4, transfers=1,
             sort_key=cost_key, interpret=not on_tpu)
     elif impl in ("lockstep", "lockstep_v7") or (
             impl == "auto" and on_tpu
