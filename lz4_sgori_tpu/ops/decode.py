@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import format as F
+from . import routing
 from .primitives import (exclusive_cumsum, next_false_index, segment_ids,
                          shift_left, take1)
 
@@ -123,12 +124,11 @@ def decompress_blocks_device(comp, comp_len, out_size: int,
     count to the next power of two (with valid empty blocks) so recurring
     calls hit a small set of compiled shapes, then trims.
 
-    impl: "auto" picks the lane-lockstep hot-ring Pallas engine (v7) on
-    a TPU backend (128 blocks per grid cell) and the portable XLA
-    program elsewhere; "lockstep_v8"/"lockstep"/"lockstep_v6"/"xla"
-    force an engine (v6 is the previous lockstep generation, kept as the
-    probe-instrumented comparator; the round-1 scalar-core kernels were
-    retired to tools/retired/ in round 4).
+    Engine selection lives in ONE place: ``ops.routing.select_decode_engine``
+    (see its module docstring for the size-band table; pinned by
+    tests/test_routing.py). impl forces an engine: "xla",
+    "lockstep_v6", "lockstep"/"lockstep_v7", "lockstep_v8",
+    "lockstep_v10"; unknown names raise ValueError.
 
     cost_key: optional int32 [num_blocks] decode-cost hint used to group
     same-cost blocks into lockstep lanes (the encoder's per-block
@@ -148,23 +148,20 @@ def decompress_blocks_device(comp, comp_len, out_size: int,
             cost_key = jnp.pad(jnp.asarray(cost_key, jnp.int32),
                                (0, nbp - nb))
     on_tpu = jax.default_backend() == "tpu"
-    # The pure-VMEM lockstep engines hold every lane's full output in
-    # VMEM (out_size x 128 bytes): 256 KiB blocks are ~32 MB and fine.
-    # Beyond that the v8 engine keeps comp+out in HBM behind VMEM
-    # comp/history rings (incremental DMA), serving the fio envelope's
-    # top sizes (512 KiB-4 MiB) on the kernel.
-    V7_MAX_BLOCK = 262144
-    if impl == "lockstep_v8" or (impl == "auto" and on_tpu
-                                 and out_size > V7_MAX_BLOCK):
+    engine = routing.select_decode_engine(out_size, on_tpu, impl)
+    if engine == "v8":
         from .pallas.lockstep_v8 import decompress_blocks_lockstep_v8
         # transfers=1: same finding as v7 (0.202 vs 0.197 GB/s at
         # 512 KiB, bit-exact) — the second frame-select pass is cost
         out, out_len, err = decompress_blocks_lockstep_v8(
             comp, comp_len, out_size, sr=512, unroll=4, transfers=1,
             sort_key=cost_key, interpret=not on_tpu)
-    elif impl in ("lockstep", "lockstep_v7") or (
-            impl == "auto" and on_tpu
-            and 16384 <= out_size <= 131072):
+    elif engine == "v10":
+        from .pallas.lockstep_v10 import decompress_blocks_lockstep_v10
+        out, out_len, err = decompress_blocks_lockstep_v10(
+            comp, comp_len, out_size, sort_key=cost_key,
+            interpret=not on_tpu)
+    elif engine == "v7":
         from .pallas.lockstep_v7 import decompress_blocks_lockstep_v7
         # unroll=6 measured best on v5e (0.786 vs 0.734 at u=4: optA's
         # flush-on-demand far service amortizes deeper unrolls);
@@ -175,13 +172,7 @@ def decompress_blocks_device(comp, comp_len, out_size: int,
         out, out_len, err = decompress_blocks_lockstep_v7(
             comp, comp_len, out_size, sr=512, unroll=6, transfers=1,
             sort_key=cost_key, interpret=not on_tpu)
-    elif impl == "lockstep_v6" or (
-            impl == "auto" and on_tpu and out_size <= V7_MAX_BLOCK):
-        # envelope edges keep the v6 ring engine: v7's flush-on-demand
-        # far service wins in the 16-128 KiB core band (0.786 vs 0.667
-        # at 64 KiB) but loses where mid-range offsets dominate and far
-        # scans are cheap — measured 5.41 vs 6.68 GB/s at 4 KiB and
-        # 0.266 vs 0.345 at 256 KiB (BENCH_r03 / round-4 smoke)
+    elif engine == "v6":
         from .pallas.lockstep_v6 import decompress_blocks_lockstep_v6
         out, out_len, err = decompress_blocks_lockstep_v6(
             comp, comp_len, out_size, sr=512, unroll=4,

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import format as F
+from . import routing
 from .primitives import exclusive_cumsum, le_word, segment_ids, take1
 
 # Two independent odd multipliers for the polynomial range hashes.
@@ -176,22 +177,22 @@ def compress_blocks_device(raw, raw_len, block_size: int,
     count to the next power of two (with empty blocks) so recurring calls
     hit a small set of compiled shapes, then trims.
 
-    impl: "auto" picks the lane-lockstep Pallas engine on a TPU backend
-    (enc3: greedy at ``match_depth`` None/1 — byte-exact to
-    golden.compress_dense(hashlog=16), aggregate size 0.989x
-    LZ4_compress_default — or the deep mode below; blocks > 64 KiB go
-    through the 64 KiB segment-splice path) and the portable XLA
-    program elsewhere. impl="scalar" forces the round-1 scalar-core
-    kernel (LZ4_compress_fast byte parity); impl="xla" the portable
-    program.
+    Engine selection lives in ONE place: ``ops.routing.select_encode_engine``
+    (see its module docstring for the full table; pinned by
+    tests/test_routing.py). impl forces an engine family: "xla" (the
+    portable/exhaustive program), "enc3"/"pallas" (block-per-lane
+    kernel), "seg" (segmented-lane kernel); unknown names — including
+    the retired "scalar" — raise ValueError.
 
-    match_depth: >= 2 on the TPU kernel path selects enc3's deep mode
+    match_depth: >= 2 on the TPU kernel path selects the deep mode
     (best-of-3 chain candidates + one-step lazy deferral,
-    golden.compress_deep, ~0.926x LZ4_compress_default at ~0.06 GB/s).
-    On the XLA engine it is the exhaustive lookback depth (default 3
-    there; ~0.914x, orders of magnitude slower — the max-ratio mode).
-    Deep requests for TPU blocks > 64 KiB currently fall through to the
-    XLA engine.
+    golden.compress_deep, ~0.930x LZ4_compress_default); >= 4 the
+    depth-5 chain mode (~0.917x; block-per-lane engine, <= 64 KiB
+    only). Engines that cannot honor the requested depth run their cap
+    and WARN: the seg engines cap at 3, the >64 KiB host splice at 1
+    (routing.encode_depth_cap). On the XLA engine match_depth is the
+    exhaustive lookback depth (~0.914x, orders of magnitude slower —
+    the max-ratio mode).
 
     acceleration: LZ4_compress_fast semantics (skip-search scaling,
     lz4e_compress.c:296-307); the exhaustive XLA matcher has no skip
@@ -204,88 +205,45 @@ def compress_blocks_device(raw, raw_len, block_size: int,
     if nbp != nb:
         raw = jnp.pad(raw, ((0, nbp - nb), (0, 0)))
         raw_len = jnp.pad(raw_len, (0, nbp - nb))
-    # pos16 sort keys bound the lockstep kernel to 64 KiB; larger TPU
-    # blocks go through the segment-splice path (64 KiB segments through
-    # the kernel, host splice into one valid LZ4 block —
-    # golden.compress_segmented parity). The portable XLA program serves
-    # CPU backends and match_depth > 1. impl="scalar" forces the round-1
-    # scalar-core kernel (the LZ4_compress_fast byte-parity engine).
     on_tpu = jax.default_backend() == "tpu"
-    if impl == "auto" and on_tpu and block_size > 65536:
-        # blocks beyond the pos16 sort range run the segmented-lane
-        # engine with piecewise pass-1 candidates (matches cross former
-        # splice boundaries through >= a half-piece window; fully
-        # traced/jittable — no host splice). Non-64 KiB-multiple slots
-        # fall back to the standalone-segment splice.
-        seg = _seg_for(block_size)
-        depth = 3 if (match_depth or 1) > 1 else 1
-        cost = None
-        if seg is not None:
-            comp, comp_len, cost = compress_blocks_seg_dispatch(
-                raw, raw_len, block_size, acceleration, depth=depth,
-                seg=seg, return_nseq=True)
+    md = match_depth or 1
+    engine = routing.select_encode_engine(block_size, md, on_tpu, impl)
+    depth = routing.encode_depth_cap(engine, md)
+    if depth < md and engine != "xla":
+        import warnings
+        warnings.warn(
+            f"match_depth={md} exceeds the {engine} engine's depth cap; "
+            f"running depth {depth} (see ops/routing.py).", stacklevel=2)
+    cost = None
+    if engine == "seg_big":
+        comp, comp_len, cost = compress_blocks_seg_dispatch(
+            raw, raw_len, block_size, acceleration, depth=depth,
+            seg=routing.seg_for(block_size), return_nseq=True)
+    elif engine == "seg_splice":
+        comp, comp_len = _compress_blocks_segmented(
+            raw, raw_len, block_size, acceleration)
+    elif engine == "seg":
+        comp, comp_len, cost = compress_blocks_seg_dispatch(
+            raw, raw_len, block_size, acceleration, depth=depth,
+            return_nseq=True)
+    elif engine == "enc3":
+        # Batches above 4 lockstep groups run in slices: at higher
+        # group counts XLA's 16 MB scoped-fusion limit keeps tripping
+        # on the inter-kernel concat/slice pipelines.
+        MAXB = 512
+        if nbp > MAXB and block_size >= 16384:
+            parts = [compress_blocks_pallas_dispatch(
+                         raw[s:s + MAXB], raw_len[s:s + MAXB],
+                         block_size, acceleration, depth=depth,
+                         return_nseq=True)
+                     for s in range(0, nbp, MAXB)]
+            comp = jnp.concatenate([c for c, _, _ in parts], axis=0)
+            comp_len = jnp.concatenate([cl for _, cl, _ in parts])
+            cost = jnp.concatenate([cs for _, _, cs in parts])
         else:
-            comp, comp_len = _compress_blocks_segmented(
-                raw, raw_len, block_size, acceleration)
-        if cost is None:
-            cost = comp_len
-        if nbp != nb:
-            comp, comp_len, cost = comp[:nb], comp_len[:nb], cost[:nb]
-        return (comp, comp_len, cost) if return_cost else (comp, comp_len)
-    use_pallas = impl in ("pallas", "seg", "enc3") or (
-        impl == "auto" and on_tpu and block_size <= 65536)
-    if use_pallas:
-        cost = None
-        if True:
-            # match_depth >= 2 selects the deep kernel mode: best-of-3
-            # chain candidates per probe with one-step lazy deferral
-            # (golden.compress_deep, ~0.926x LZ4_compress_default).
-            # impl='xla' stays the max-ratio engine (exhaustive depth,
-            # ~0.914x, orders of magnitude slower).
-            # Blocks >= 8 KiB on TPU use the SEGMENTED-lane engine
-            # (impl='seg' forces it, impl='enc3' forces block-per-lane):
-            # each block spreads over block_size/4096 lanes with
-            # windowed tape columns, collapsing the banded-walk spans
-            # that bound the block-per-lane parse (docs/Performance.md
-            # round-3 seg section). Byte contract becomes
-            # golden.compress_dense_seg (ratio ~0.991x LZ4 vs 0.989x
-            # for compress_dense on the bench corpus).
-            # match_depth >= 4 selects the depth-5 chain mode (the
-            # dense_gaps2 tape via a second gaps2-only pass-1 call so
-            # peak VMEM stays at the depth-3 level;
-            # golden.compress_deep(depth=5), 0.9171x
-            # LZ4_compress_default at 64 KiB) — served by the
-            # block-per-lane engine only: the seg engine's piecewise
-            # pass-1 carries no second gaps tape and caps at depth 3.
-            md = match_depth or 1
-            depth = 1 if md <= 1 else (5 if md >= 4 else 3)
-            use_seg = impl == "seg" or (
-                impl == "auto" and on_tpu and 8192 <= block_size <= 65536
-                and block_size % 4096 == 0 and depth <= 3)
-            if use_seg:
-                comp, comp_len, cost = compress_blocks_seg_dispatch(
-                    raw, raw_len, block_size, acceleration, depth=depth,
-                    return_nseq=True)
-            else:
-                # Batches above 4 lockstep groups run in slices: at
-                # higher group counts XLA's 16 MB scoped-fusion limit
-                # keeps tripping on the inter-kernel concat/slice
-                # pipelines.
-                MAXB = 512
-                if nbp > MAXB and block_size >= 16384:
-                    parts = [compress_blocks_pallas_dispatch(
-                                 raw[s:s + MAXB], raw_len[s:s + MAXB],
-                                 block_size, acceleration, depth=depth,
-                                 return_nseq=True)
-                             for s in range(0, nbp, MAXB)]
-                    comp = jnp.concatenate([c for c, _, _ in parts],
-                                           axis=0)
-                    comp_len = jnp.concatenate([cl for _, cl, _ in parts])
-                    cost = jnp.concatenate([cs for _, _, cs in parts])
-                else:
-                    comp, comp_len, cost = compress_blocks_pallas_dispatch(
-                        raw, raw_len, block_size, acceleration,
-                        depth=depth, return_nseq=True)
+            comp, comp_len, cost = compress_blocks_pallas_dispatch(
+                raw, raw_len, block_size, acceleration,
+                depth=depth, return_nseq=True)
     else:
         if acceleration > 1:
             import warnings
@@ -293,30 +251,13 @@ def compress_blocks_device(raw, raw_len, block_size: int,
                 f"acceleration={acceleration} applies to the greedy kernel "
                 "path; the exhaustive engine evaluates every position and "
                 "ignores it.", stacklevel=2)
-        depth = 3 if match_depth is None else match_depth
-        cost = None
-        comp, comp_len = _compress_blocks_impl(raw, raw_len, block_size,
-                                               depth)
+        comp, comp_len = _compress_blocks_impl(
+            raw, raw_len, block_size, 3 if match_depth is None else md)
     if cost is None:
         cost = comp_len
     if nbp != nb:
         comp, comp_len, cost = comp[:nb], comp_len[:nb], cost[:nb]
     return (comp, comp_len, cost) if return_cost else (comp, comp_len)
-
-
-def _seg_for(block_size: int) -> int | None:
-    """Segment size for the big-block seg engine: the most lanes per
-    block (<= 128) with seg >= 4 KiB, 128-aligned; None when the slot
-    shape can't satisfy the engine's constraints (then the standalone-
-    segment splice serves it)."""
-    if block_size % 65536:
-        return None
-    for nseg in (128, 64, 32, 16, 8, 4, 2):
-        if block_size % nseg == 0:
-            seg = block_size // nseg
-            if seg % 128 == 0 and seg >= 4096:
-                return seg
-    return None
 
 
 def _compress_blocks_segmented(raw, raw_len, block_size: int,
@@ -327,8 +268,22 @@ def _compress_blocks_segmented(raw, raw_len, block_size: int,
     segments, so the only loss vs a single-table encode is candidates
     whose window would span a boundary — the reference's own window is
     64 KiB anyway, lz4e.h:53-55). Covers the fio envelope's upper half
-    (test_128k…test_4m.fio) without touching the slow XLA engine."""
+    (test_128k…test_4m.fio) without touching the slow XLA engine.
+
+    HOST-ONLY: the splice loop runs in numpy. Under jit/shard_map
+    tracing this cannot work — raise a clear error instead of letting
+    np.asarray produce a TracerArrayConversionError (round-4 verdict
+    weak #6). Traceable big-block encode requires a 64 KiB-multiple
+    block_size (the seg_big engine, routing.seg_for)."""
     import numpy as np
+
+    if isinstance(raw, jax.core.Tracer):
+        raise ValueError(
+            f"block_size={block_size} (> 64 KiB, not a 64 KiB multiple) "
+            "routes to the host-side segment-splice encoder, which cannot "
+            "run under jit/shard_map tracing. Use a 64 KiB-multiple "
+            "block_size (served by the fully-traceable seg_big engine) "
+            "or call outside jit.")
 
     from .. import golden
     from .pallas.lockstep_enc3 import compress_blocks_lockstep_enc3

@@ -88,11 +88,24 @@ def fixtures() -> dict:
     }
 
 
+SLOW_LANE = os.environ.get("LZ4J_SLOW_TESTS") == "1"
+
+
 def pytest_collection_modifyitems(config, items):
     """-m tpu tests need a real TPU backend (LZ4J_TPU_TESTS=1); everything
-    else is skipped in that lane to keep the on-device run focused."""
+    else is skipped in that lane to keep the on-device run focused.
+
+    -m slow marks the exhaustive interpret-mode kernel parity cases
+    (tens of seconds each on XLA-CPU). The default lane skips them to
+    stay under ~5 minutes (round-4 verdict item 8); LZ4J_SLOW_TESTS=1
+    restores full case coverage. Every slow-gated engine keeps a quick
+    representative case in the default lane."""
     skip_tpu = pytest.mark.skip(reason="TPU lane: set LZ4J_TPU_TESTS=1 "
                                        "and run on a TPU backend")
+    skip_slow = pytest.mark.skip(reason="exhaustive lane: set "
+                                        "LZ4J_SLOW_TESTS=1")
     for item in items:
         if "tpu" in item.keywords and not TPU_LANE:
             item.add_marker(skip_tpu)
+        if "slow" in item.keywords and not SLOW_LANE and not TPU_LANE:
+            item.add_marker(skip_slow)

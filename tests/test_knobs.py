@@ -38,6 +38,7 @@ def test_acceleration_changes_output(fixtures):
 
 
 @pytest.mark.parametrize("accel", [1, 8])
+@pytest.mark.slow
 def test_pallas_encode_acceleration_matches_golden(fixtures, accel):
     # acceleration semantics on the production enc3 engine: byte parity
     # with the golden dense-rule oracle at the same skip schedule
@@ -62,6 +63,7 @@ def test_pallas_encode_acceleration_matches_golden(fixtures, accel):
         assert got == want, (name, accel)
 
 
+@pytest.mark.slow
 def test_match_depth_selects_deep_kernel(monkeypatch, fixtures):
     """impl='auto' on a TPU backend with match_depth > 1 selects the deep
     lockstep mode (depth=3) — no silent no-op, no warning (VERDICT r1
@@ -116,3 +118,25 @@ def test_match_depth_selects_deep_kernel(monkeypatch, fixtures):
     out = golden.decompress(
         np.asarray(comp)[0, :int(clen[0])].tobytes(), len(data))
     assert out == data
+
+
+def test_pallas_encode_acceleration_quick(fixtures):
+    """Default-lane representative of the kernel acceleration contract
+    (accel=4, one text block; the full accel sweep is slow-gated)."""
+    import jax
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("interpret-mode case")
+    from lz4_sgori_tpu import golden
+    from lz4_sgori_tpu.ops.pallas.lockstep_enc3 import (
+        compress_blocks_lockstep_enc3)
+
+    data = fixtures["text_small"][:4096]
+    raw = np.zeros((1, 4096), np.uint8)
+    raw[0, :len(data)] = np.frombuffer(data, np.uint8)
+    rlen = np.array([len(data)], np.int32)
+    comp, clen, err = compress_blocks_lockstep_enc3(
+        raw, rlen, 4096, accel=4, interpret=True)
+    assert not bool(np.asarray(err)[0])
+    got = np.asarray(comp)[0, :int(clen[0])].tobytes()
+    assert got == golden.compress_dense(data, acceleration=4)

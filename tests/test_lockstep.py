@@ -200,6 +200,7 @@ def test_varying_sizes_one_batch(fixtures):
     _check_roundtrip(cases, out_cap=4096)
 
 
+@pytest.mark.slow
 def test_tpu_wrapper_interpret(fixtures):
     """The production (v6 ring) pallas_call wrapper in interpret mode
     matches golden end-to-end, including non-multiple-of-128 batches and

@@ -9,6 +9,7 @@ launch per case: interpret mode is slow.
 """
 
 import numpy as np
+import pytest
 
 from lz4_sgori_tpu import golden
 
@@ -126,6 +127,7 @@ def test_golden_dense_size_contract():
         # 0.990-0.996x on real corpora; 1% slack for this tiny fixture set)
 
 
+@pytest.mark.slow
 def test_enc3_acceleration():
     rng = np.random.RandomState(10)
     parts = []
@@ -163,6 +165,7 @@ def test_golden_segmented_roundtrip():
         assert golden.decompress(s, len(data)) == data, (i, 4096)
 
 
+@pytest.mark.slow
 def test_enc3_tails_match_oracle_and_splice():
     """The kernel's tail output equals golden.tail_offset, and splicing
     kernel segment streams reproduces golden.compress_segmented."""
@@ -192,6 +195,7 @@ def test_enc3_tails_match_oracle_and_splice():
     assert golden.decompress(spliced, len(data)) == data
 
 
+@pytest.mark.slow
 def test_enc3_deep_parity():
     """depth=3 engine: byte-exact vs golden.compress_deep, and the deep
     stream is never larger than the greedy one in aggregate."""
@@ -228,6 +232,7 @@ def test_enc3_deep_parity():
     assert tot_deep <= tot_greedy
 
 
+@pytest.mark.slow
 def test_enc3_depth5_parity():
     """depth=5 engine (dense_gaps2 second tape): byte-exact vs
     golden.compress_deep(depth=5), never larger than depth 3 in

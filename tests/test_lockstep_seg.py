@@ -61,13 +61,30 @@ def _check(raw, rlen, depth=1, accel=1):
         assert golden.decompress(got, len(b)) == b, i
 
 
+@pytest.mark.slow
 def test_greedy_parity(batch):
     _check(*batch)
 
 
+@pytest.mark.slow
 def test_deep_parity(batch):
     _check(*batch, depth=3)
 
 
+@pytest.mark.slow
 def test_accel_parity(batch):
     _check(*batch, accel=8)
+
+
+def test_seg_quick_smoke():
+    """Default-lane representative: 3 blocks, depth 1 + 3, small cases —
+    the exhaustive spectrum runs in the slow lane (LZ4J_SLOW_TESTS=1)."""
+    rng = np.random.default_rng(7)
+    raw, rlen = _mkbatch([
+        (LOREM * 40)[:BS],
+        bytes(512) + rng.integers(0, 256, 512, dtype=np.uint8).tobytes()
+        + (b"ab" * 300)[:600],
+        b"abcabcabcabcabcabc",
+    ])
+    _check(raw, rlen, depth=1)
+    _check(raw, rlen, depth=3)

@@ -10,6 +10,7 @@ block must not poison the NEXT block in the same lane.
 """
 
 import numpy as np
+import pytest
 
 from lz4_sgori_tpu import golden
 
@@ -24,6 +25,7 @@ def _pack(payloads, width=None):
     return comp, clen
 
 
+@pytest.mark.slow
 def test_v9_chain_parity():
     from lz4_sgori_tpu.ops.pallas.lockstep_v9 import (
         decompress_blocks_lockstep_v9)
@@ -52,6 +54,7 @@ def test_v9_chain_parity():
             assert bytes(out[j, :len(b)]) == b, f"sort={sort} block {j}"
 
 
+@pytest.mark.slow
 def test_v9_malformed_mid_chain():
     from lz4_sgori_tpu.ops.pallas.lockstep_v9 import (
         decompress_blocks_lockstep_v9)
@@ -82,3 +85,21 @@ def test_v9_malformed_mid_chain():
         if not want:
             assert int(out_len[j]) == len(want_out), f"case {j}"
             assert bytes(out[j, :len(want_out)]) == want_out, f"case {j}"
+
+
+def test_v9_quick_smoke():
+    """Default-lane representative chain-transition case (full spectrum
+    in the slow lane)."""
+    from lz4_sgori_tpu.ops.pallas.lockstep_v9 import (
+        decompress_blocks_lockstep_v9)
+    out_size = 1024
+    blocks = [b"the quick brown fox " * 51 + b"um" * 2,
+              bytes(out_size), b"z" * 700, b""]
+    blocks = [b[:out_size] for b in blocks]
+    comp, clen = _pack([golden.compress(b) for b in blocks])
+    out, out_len, err = decompress_blocks_lockstep_v9(
+        comp, clen, out_size, chain=2, sr=64, interpret=True, sort=False)
+    out = np.asarray(out)
+    for j, b in enumerate(blocks):
+        assert not bool(err[j]) and int(out_len[j]) == len(b)
+        assert bytes(out[j, :len(b)]) == b
