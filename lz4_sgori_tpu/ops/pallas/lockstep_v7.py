@@ -111,13 +111,19 @@ def _round(st, stag, hot, fl, served, loc, locb, scr, clen, olen,
     cont_l = run & (mode == LLSIC)
     ll0 = b[0] >> F.ML_BITS
     tok_ml0 = b[0] & F.ML_MASK
-    ext_t, cons_t, live_t = _lsic_scan(b[1:1 + LSIC_P], tok_l & (ll0 == 15))
-    ext_c, cons_c, live_c = _lsic_scan(b[0:LSIC_P], cont_l)
-    to_llsic = (tok_l & live_t) | (cont_l & live_c)
-    to_lit = (tok_l & ~live_t) | (cont_l & ~live_c)
-    lit_new = jnp.where(tok_l, ll0 + jnp.where(ll0 == 15, ext_t, 0),
-                        acc + ext_c)
-    cons = jnp.where(tok_l, 1 + cons_t, jnp.where(cont_l, cons_c, 0))
+    # ONE merged LSIC scan for both entry modes: token lanes scan bytes
+    # 1..P, continuation lanes 0..P-1 — per-byte source select, then a
+    # single chain walk (the two separate scans were ~10% of the
+    # sub-round's instruction budget; the machine is issue-bound,
+    # docs/Performance.md round-3 ceiling analysis)
+    live0_h = (tok_l & (ll0 == 15)) | cont_l
+    mb = [jnp.where(tok_l, b[j + 1], b[j]) for j in range(LSIC_P)]
+    ext_h, cons_h, live_h = _lsic_scan(mb, live0_h)
+    to_llsic = live_h
+    to_lit = (tok_l | cont_l) & ~live_h
+    lit_new = jnp.where(tok_l, ll0 + jnp.where(ll0 == 15, ext_h, 0),
+                        acc + ext_h)
+    cons = jnp.where(tok_l, 1 + cons_h, jnp.where(cont_l, cons_h, 0))
     acc = jnp.where(to_llsic, lit_new, acc)
     ml0 = jnp.where(tok_l, tok_ml0, ml0)
     ip = ip + cons
@@ -153,14 +159,16 @@ def _round(st, stag, hot, fl, served, loc, locb, scr, clen, olen,
     o16 = ob[0] | (ob[1] << 8)
     err_o = o_l & ((ip + 2 > clen) | (o16 == 0) | (o16 > op))
     o_l = o_l & ~err_o
-    ext_o, cons_o, live_o = _lsic_scan(ob[2:2 + LSIC_P], o_l & (ml0 == 15))
-    ext_m, cons_m, live_m = _lsic_scan(ob[0:LSIC_P], m_l)
-    to_mlsic = (o_l & live_o) | (m_l & live_m)
-    to_match = (o_l & ~live_o) | (m_l & ~live_m)
+    # merged match-LSIC scan (same trick as phase H)
+    live0_o = (o_l & (ml0 == 15)) | m_l
+    mo = [jnp.where(o_l, ob[j + 2], ob[j]) for j in range(LSIC_P)]
+    ext_o2, cons_o2, live_o2 = _lsic_scan(mo, live0_o)
+    to_mlsic = live_o2
+    to_match = (o_l | m_l) & ~live_o2
     mlen_new = jnp.where(
-        o_l, F.MINMATCH + ml0 + jnp.where(ml0 == 15, ext_o, 0),
-        acc + ext_m)
-    cons2 = jnp.where(o_l, 2 + cons_o, jnp.where(m_l, cons_m, 0))
+        o_l, F.MINMATCH + ml0 + jnp.where(ml0 == 15, ext_o2, 0),
+        acc + ext_o2)
+    cons2 = jnp.where(o_l, 2 + cons_o2, jnp.where(m_l, cons_o2, 0))
     acc = jnp.where(to_mlsic, mlen_new, acc)
     d = jnp.where(o_l, o16, d)
     ip = ip + cons2
