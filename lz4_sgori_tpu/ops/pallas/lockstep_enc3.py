@@ -1407,13 +1407,14 @@ def _piecewise_cand(rawm, raw_len, block_size: int, depth: int,
                                     "interpret", "unroll", "wb_band",
                                     "depth", "debug_rounds", "stage",
                                     "far_every", "near_lim",
-                                    "return_nseq"))
+                                    "return_nseq", "debug_modes"))
 def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
                                  seg: int = 4096, window: int = 65536,
                                  accel: int = 1, interpret: bool = False,
                                  unroll: int = 2, wb_band: int = 64,
                                  depth: int = 1,
                                  debug_rounds: bool = False,
+                                 debug_modes: bool = False,
                                  stage: str = "all",
                                  far_every: int = 0,
                                  near_lim: int = 4096,
@@ -1608,7 +1609,8 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
                           accel=accel, unroll=unroll, wb_band=wb_band,
                           depth=depth, seg_w=window,
                           far_every=far_every, near_lim=near_lim,
-                          debug_rounds=debug_rounds),
+                          debug_rounds=debug_rounds,
+                          debug_modes=debug_modes),
         grid=(grid_ng,),
         in_specs=[
             pl.BlockSpec((1, sw, LANES), lambda g: (g, 0, 0)),
@@ -1659,15 +1661,36 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
             jnp.concatenate([p[i] for p in parts], axis=0))
             for i in range(7))
     out, slen, serr, le_l, ns_l, p1_l, m1h = outs
+    if debug_modes:
+        # probe-only: per-lane mode histogram + slab-visit rows (16
+        # rows per lane, written over the stream tape head)
+        return out[:, :16, :], slen.reshape(-1), serr.reshape(-1)
     if stage == "parse":                 # timing probe: stop after kernel
         s = jnp.sum(out[:, ::37, :]) + jnp.sum(slen) + jnp.sum(serr)
         return (jnp.zeros((nb, 1), jnp.uint8),
                 s.reshape(1).astype(jnp.int32).repeat(nb),
                 jnp.zeros((nb,), bool))
 
-    streams = jnp.concatenate(
-        [LK.unpack_tapes(out[g]) for g in range(ng2)], axis=0)
-    streams = jax.lax.optimization_barrier(streams[inv])  # (nb1*nseg, OCB)
+    # assembly engine choice (static): the Pallas concat kernel needs
+    # the whole per-lane source column VMEM-resident; beyond that the
+    # vmapped-DUS path remains (slow — see asm_seg.py docstring)
+    orr_s = out.shape[1]
+    HW_words = _roundup(-(-(1 + (max(block_size, 65536) // 255) + 2) // 4)
+                        + 1, 8)
+    SWR_rows = nseg * orr_s + nseg * HW_words + block_size // 4
+    OUT_rows = _roundup(F.compress_bound(block_size), 4 * BAND) // 4
+    use_asm_kernel = ((SWR_rows + OUT_rows) * LANES * 4
+                      < 100 * 1024 * 1024) and SWR_rows % BAND == 0
+
+    if use_asm_kernel:
+        streams = None
+        streams_w = jnp.concatenate(
+            [out[g].T for g in range(ng2)], axis=0)      # (nb1*nseg, orr)
+        streams_w = jax.lax.optimization_barrier(streams_w[inv])
+    else:
+        streams = jnp.concatenate(
+            [LK.unpack_tapes(out[g]) for g in range(ng2)], axis=0)
+        streams = jax.lax.optimization_barrier(streams[inv])
     slen = slen.reshape(-1)[inv]
     serr = serr.reshape(-1)[inv]
     le_l = le_l.reshape(-1)[inv]
@@ -1714,35 +1737,71 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
     hdr = jnp.where((hj[None, None, :] < hlen[..., None]), hdr, 0)
     hdr = hdr.astype(jnp.uint8).reshape(nb1 * nseg, HMAX)
 
-    # ---- device assembly: forward dynamic_update_slice concatenation ----
     tl = (s1l - le_l).reshape(nb1, nseg)
     bound = F.compress_bound(block_size)
-    ocb = streams.shape[1]
-    abound = _roundup(bound + 4 * nseg + 64 + max(ocb, seg, HMAX), 128)
-    rawt = jnp.concatenate([rawm, jnp.zeros((nb1, seg), jnp.uint8)],
-                           axis=1)
-    streams2 = streams.reshape(nb1, nseg, ocb)
-    hdr2 = hdr.reshape(nb1, nseg, HMAX)
     slen2 = slen.reshape(nb1, nseg)
     hlen2 = jnp.where(owner, hlen, 0)
     leg2 = jnp.maximum(le_g, 0)
 
-    def asm_one(st_b, hd_b, raw_b, sl_b, hl_b, le_b, tl_b):
-        outb = jnp.zeros((abound,), jnp.uint8)
-        off = jnp.int32(0)
-        for k in range(nseg):
-            outb = jax.lax.dynamic_update_slice(outb, st_b[k], (off,))
-            off = off + sl_b[k]
-            outb = jax.lax.dynamic_update_slice(outb, hd_b[k], (off,))
-            off = off + hl_b[k]
-            tail = jax.lax.dynamic_slice(raw_b, (le_b[k],), (seg,))
-            outb = jax.lax.dynamic_update_slice(outb, tail, (off,))
-            off = off + tl_b[k]
-        outb = jnp.where(jnp.arange(abound) < off, outb, 0)
-        return outb, off
+    if use_asm_kernel:
+        # ---- device assembly: Pallas piece-lockstep concat kernel ----
+        from .asm_seg import assemble_segments
+        HW = HW_words
+        hdr_pad = jnp.pad(hdr.astype(jnp.int32),
+                          ((0, 0), (0, 4 * HW - HMAX)))
+        h4 = hdr_pad.reshape(nb1 * nseg, HW, 4)
+        hdr_w = (h4[:, :, 0] | (h4[:, :, 1] << 8) | (h4[:, :, 2] << 16)
+                 | (h4[:, :, 3] << 24)).reshape(nb1, nseg * HW)
+        raww = block_size // 4
+        raw_w = blockw[:, window // 4:window // 4 + raww]
+        src_col = jnp.concatenate(
+            [streams_w.reshape(nb1, nseg * orr_s), hdr_w, raw_w], axis=1)
+        ng_a = nb1 // LANES
+        src_t = jax.lax.optimization_barrier(
+            src_col.reshape(ng_a, LANES, SWR_rows).transpose(0, 2, 1))
+        # plan: rows 3k/3k+1/3k+2 = piece byte lengths; rows 3*nseg+k =
+        # absolute tail source byte offsets
+        lens = jnp.stack([slen2, hlen2, tl], axis=2).reshape(nb1,
+                                                            3 * nseg)
+        toff = 4 * (nseg * orr_s + nseg * HW) + leg2
+        PR = _roundup(4 * nseg, 8)
+        plan = jnp.concatenate(
+            [lens, toff, jnp.zeros((nb1, PR - 4 * nseg), jnp.int32)],
+            axis=1)
+        plan_t = plan.reshape(ng_a, LANES, PR).transpose(0, 2, 1)
+        out_w, olen_w = assemble_segments(
+            src_t, plan_t, nseg=nseg, ocw=orr_s, hw=HW, raww=raww,
+            out_rows=OUT_rows, interpret=interpret)
+        data = jnp.concatenate(
+            [LK.unpack_tapes(out_w[g]) for g in range(ng_a)], axis=0)
+        out_len = olen_w.reshape(-1)[:nb1]
+    else:
+        # ---- vmapped-DUS fallback (block sizes whose source column
+        # exceeds VMEM; see asm_seg.py for the cost analysis) ----
+        ocb = streams.shape[1]
+        abound = _roundup(bound + 4 * nseg + 64 + max(ocb, seg, HMAX),
+                          128)
+        rawt = jnp.concatenate([rawm, jnp.zeros((nb1, seg), jnp.uint8)],
+                               axis=1)
+        streams2 = streams.reshape(nb1, nseg, ocb)
+        hdr2 = hdr.reshape(nb1, nseg, HMAX)
 
-    data, out_len = jax.vmap(asm_one)(streams2, hdr2, rawt, slen2, hlen2,
-                                      leg2, tl)
+        def asm_one(st_b, hd_b, raw_b, sl_b, hl_b, le_b, tl_b):
+            outb = jnp.zeros((abound,), jnp.uint8)
+            off = jnp.int32(0)
+            for k in range(nseg):
+                outb = jax.lax.dynamic_update_slice(outb, st_b[k], (off,))
+                off = off + sl_b[k]
+                outb = jax.lax.dynamic_update_slice(outb, hd_b[k], (off,))
+                off = off + hl_b[k]
+                tail = jax.lax.dynamic_slice(raw_b, (le_b[k],), (seg,))
+                outb = jax.lax.dynamic_update_slice(outb, tail, (off,))
+                off = off + tl_b[k]
+            outb = jnp.where(jnp.arange(abound) < off, outb, 0)
+            return outb, off
+
+        data, out_len = jax.vmap(asm_one)(streams2, hdr2, rawt, slen2,
+                                          hlen2, leg2, tl)
     if debug_rounds:                     # serr carries per-lane rounds
         return (data[:nb, :bound], out_len[:nb],
                 serr.reshape(nb1, nseg)[:nb])

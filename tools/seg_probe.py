@@ -52,6 +52,12 @@ def main():
     nl = os.environ.get("SEG_NEAR_LIM")
     if nl:
         kw["near_lim"] = int(nl)
+    ur = os.environ.get("SEG_UNROLL")
+    if ur:
+        kw["unroll"] = int(ur)
+    wb = os.environ.get("SEG_WB_BAND")
+    if wb:
+        kw["wb_band"] = int(wb)
 
     def run(stage, n=1):
         acc = None
