@@ -151,9 +151,11 @@ def _asm_kernel(src_ref, plan_ref, out_ref, len_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("nseg", "ocw", "hw", "raww",
-                                    "out_rows", "interpret"))
+                                    "out_rows", "interpret",
+                                    "force_single"))
 def assemble_segments(src, plan, nseg: int, ocw: int, hw: int,
-                      raww: int, out_rows: int, interpret: bool = False):
+                      raww: int, out_rows: int, interpret: bool = False,
+                      force_single: bool = False):
     """Concatenate per-segment pieces into per-block LZ4 streams.
 
     src:  (ng, SWR, 128) int32 word tape — per-lane source column (see
@@ -165,6 +167,19 @@ def assemble_segments(src, plan, nseg: int, ocw: int, hw: int,
     Returns (out words (ng, out_rows, 128), out_len bytes (ng,1,128)).
     """
     ng, swr, _ = src.shape
+    # double-buffered multi-group grids must fit 2x(src+plan+out) in
+    # VMEM; larger shapes (256 KiB blocks) invoke per group, barriered
+    # so XLA cannot fuse the output concats into oversized fusions
+    rows = swr + plan.shape[1] + out_rows + 1
+    if ng > 1 and (force_single
+                   or 2 * rows * LANES * 4 > 100 * 1024 * 1024):
+        parts = [assemble_segments(src[g:g + 1], plan[g:g + 1],
+                                   nseg=nseg, ocw=ocw, hw=hw, raww=raww,
+                                   out_rows=out_rows, interpret=interpret)
+                 for g in range(ng)]
+        return tuple(jax.lax.optimization_barrier(
+            jnp.concatenate([p[i] for p in parts], axis=0))
+            for i in range(2))
     out, out_len = pl.pallas_call(
         functools.partial(_asm_kernel, NSEG=nseg, OCW=ocw, HW=hw,
                           OR=out_rows, SWR=swr),

@@ -1419,8 +1419,14 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
                                  far_every: int = 0,
                                  near_lim: int = 4096,
                                  group_sort: bool = True,
+                                 group_key=None,
                                  return_nseq: bool = False):
     """Segment-parallel block compress (the enc3 seg engine).
+
+    group_key: optional int32 [nb*nseg] per-segment parse-cost keys
+    (block-major, segment-minor) overriding the candidate-density
+    grouping — the probe channel for cost-hint experiments (the decode
+    engines' nseq lesson, docs/Performance.md round-4).
 
     Each block is cut into `seg`-byte segments parsed by SEPARATE lanes
     against per-lane windowed tape columns (src[k*seg - window ..
@@ -1531,7 +1537,13 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
     # segment cost proxy = candidate-bearing positions: straggler
     # segments share lockstep groups instead of idling whole groups
     # (the block-per-lane engine's density regrouping, per segment)
-    if group_sort:
+    if group_key is not None:
+        key = jnp.asarray(group_key, jnp.int32)
+        if key.shape[0] != nb1 * nseg:
+            key = jnp.pad(key, (0, nb1 * nseg - key.shape[0]))
+        order = jnp.argsort(-key)
+        inv = jnp.argsort(order)
+    elif group_sort:
         dens = jnp.sum(candflat != 0, axis=1, dtype=jnp.int32)
         order = jnp.argsort(-dens)
         inv = jnp.argsort(order)
@@ -1680,7 +1692,7 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
     SWR_rows = nseg * orr_s + nseg * HW_words + block_size // 4
     OUT_rows = _roundup(F.compress_bound(block_size), 4 * BAND) // 4
     use_asm_kernel = ((SWR_rows + OUT_rows) * LANES * 4
-                      < 100 * 1024 * 1024) and SWR_rows % BAND == 0
+                      < 108 * 1024 * 1024) and SWR_rows % BAND == 0
 
     if use_asm_kernel:
         streams = None

@@ -88,3 +88,61 @@ def test_seg_quick_smoke():
     ])
     _check(raw, rlen, depth=1)
     _check(raw, rlen, depth=3)
+
+
+def test_asm_kernel_per_group_path():
+    """The per-group (grid=1) assembly invocation used by shapes whose
+    double-buffered grid exceeds VMEM (256 KiB blocks on hardware) —
+    exercised here at small shape via force_single."""
+    import jax.numpy as jnp
+    from lz4_sgori_tpu.ops.pallas import lockstep as LK
+    from lz4_sgori_tpu.ops.pallas.asm_seg import assemble_segments
+
+    rng = np.random.default_rng(9)
+    LANES = 128
+    nseg, ocw, hw, raww = 2, 16, 8, 80
+    swr = nseg * ocw + nseg * hw + raww
+    out_rows = 64
+    ng = 2
+    # random piece contents packed per lane: streams at slots, hdrs,
+    # raw tail source; plan = lengths + tail offsets
+    src = rng.integers(-2**31, 2**31 - 1, (ng, swr, LANES),
+                       dtype=np.int64).astype(np.int32)
+    plan = np.zeros((ng, 8, LANES), np.int32)
+    sl = rng.integers(0, 4 * ocw - 4, (ng, nseg, LANES))
+    hl = rng.integers(0, 4 * hw - 4, (ng, nseg, LANES))
+    tl = rng.integers(0, 32, (ng, nseg, LANES))
+    le = rng.integers(0, 64, (ng, nseg, LANES))
+    for k in range(nseg):
+        plan[:, 3 * k] = sl[:, k]
+        plan[:, 3 * k + 1] = hl[:, k]
+        plan[:, 3 * k + 2] = tl[:, k]
+        plan[:, 3 * nseg + k] = 4 * (nseg * ocw + nseg * hw) + le[:, k]
+    for force in (False, True):
+        out, olen = assemble_segments(
+            jnp.asarray(src), jnp.asarray(plan), nseg=nseg, ocw=ocw,
+            hw=hw, raww=raww, out_rows=out_rows, interpret=True,
+            force_single=force)
+        out = np.asarray(out)
+        olen = np.asarray(olen).reshape(ng, LANES)
+        # reference concat on the host
+        srcb = src.transpose(0, 2, 1).astype(np.uint32)
+        srcbytes = srcb.view(np.uint8) if srcb.flags["C_CONTIGUOUS"] \
+            else np.ascontiguousarray(srcb).view(np.uint8)
+        srcbytes = srcbytes.reshape(ng, LANES, swr * 4)
+        outb = np.ascontiguousarray(
+            out.transpose(0, 2, 1).astype(np.uint32)).view(
+            np.uint8).reshape(ng, LANES, out_rows * 4)
+        for g in range(ng):
+            for L in range(0, LANES, 17):
+                want = b""
+                for k in range(nseg):
+                    o = 4 * k * ocw
+                    want += srcbytes[g, L, o:o + sl[g, k, L]].tobytes()
+                    o = 4 * (nseg * ocw + k * hw)
+                    want += srcbytes[g, L, o:o + hl[g, k, L]].tobytes()
+                    o = plan[g, 3 * nseg + k, L]
+                    want += srcbytes[g, L, o:o + tl[g, k, L]].tobytes()
+                assert olen[g, L] == len(want), (force, g, L)
+                assert outb[g, L, :len(want)].tobytes() == want, \
+                    (force, g, L)

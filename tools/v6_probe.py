@@ -53,9 +53,18 @@ def main():
         kw["transfers"] = int(os.environ.get("V7_TRANSFERS", "2"))
         kw["chain"] = int(os.environ.get("V9_CHAIN", "4"))
     elif os.environ.get("V6_ENGINE") == "v7":
-        from lz4_sgori_tpu.ops.pallas.lockstep_v7 import (
-            decompress_blocks_lockstep_v7 as decompress_blocks_lockstep_v6)
+        import lz4_sgori_tpu.ops.pallas.lockstep_v7 as v7mod
+        if os.environ.get("V7_HOT"):
+            # hot-ring size sweep: patch the module constants before
+            # any trace (HSPAN/HOT_D derive from HOT)
+            v7mod.HOT = int(os.environ["V7_HOT"])
+            v7mod.HSPAN = v7mod.HOT * 4
+            v7mod.HOT_D = v7mod.HSPAN - 4
+            print(f"[v6] HOT={v7mod.HOT}", flush=True)
+        decompress_blocks_lockstep_v6 = v7mod.decompress_blocks_lockstep_v7
         kw.pop("streams", None)
+        kw.pop("nofar", None)
+        kw.pop("noflush", None)
         kw["transfers"] = int(os.environ.get("V7_TRANSFERS", "2"))
     else:
         from lz4_sgori_tpu.ops.pallas.lockstep_v6 import (
