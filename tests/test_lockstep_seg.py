@@ -146,3 +146,30 @@ def test_asm_kernel_per_group_path():
                 assert olen[g, L] == len(want), (force, g, L)
                 assert outb[g, L, :len(want)].tobytes() == want, \
                     (force, g, L)
+
+
+def test_seg_merge_tree_fallback_parity():
+    """Shapes whose source column misaligns the asm kernel's banded
+    walk (8 KiB blocks, 4 KiB segments: SWR % 64 != 0) take the
+    merge-tree assembly; parity vs golden.compress_dense_seg."""
+    bs, sg = 8192, 4096
+    rng = np.random.default_rng(12)
+    blocks = [
+        (LOREM * 80)[:bs],
+        bytes(2048) + rng.integers(0, 256, 2048,
+                                   dtype=np.uint8).tobytes()
+        + (b"ab" * 2048)[:4096],
+        b"xyz" * 1000,
+    ]
+    raw = np.zeros((len(blocks), bs), np.uint8)
+    rlen = np.zeros(len(blocks), np.int32)
+    for i, b in enumerate(blocks):
+        raw[i, :len(b)] = np.frombuffer(b, np.uint8)
+        rlen[i] = len(b)
+    comp, clen, err = compress_blocks_lockstep_seg(
+        raw, rlen, bs, seg=sg, window=bs, interpret=True)
+    comp, clen, err = map(np.asarray, (comp, clen, err))
+    assert not err.any()
+    for i, b in enumerate(blocks):
+        g = golden.compress_dense_seg(b, seg=sg, window=bs)
+        assert comp[i, :clen[i]].tobytes() == g, i

@@ -399,3 +399,73 @@ def test_compiled_v9_fuzz(fixtures):
         else:
             n_rej += 1
     assert n_acc >= 16 and n_rej >= 128, (n_acc, n_rej)
+
+
+def test_compiled_seg_big_deep_parity(fixtures):
+    """Big-block (128 KiB) seg engine at depth 3 vs the golden
+    piecewise-deep oracle (round-4 advisor item 2: the big-block deep
+    path previously had no parity test; only depth 1 ran)."""
+    from lz4_sgori_tpu.ops.pallas.lockstep_enc3 import (
+        compress_blocks_lockstep_seg)
+    from lz4_sgori_tpu.ops.routing import seg_for
+
+    bs = 131072
+    base = (fixtures["mixed"] * ((bs // len(fixtures["mixed"])) + 1))
+    raws = [base[:bs], base[13:13 + bs], bytes(bs),
+            fixtures["text_large"][:bs]]
+    raw, rlen = _pack(raws, bs)
+    comp, clen, err = compress_blocks_lockstep_seg(
+        raw, rlen, bs, seg=seg_for(bs), depth=3)
+    comp, clen, err = np.asarray(comp), np.asarray(clen), np.asarray(err)
+    for j, data in enumerate(raws):
+        assert not err[j], j
+        want = golden.compress_dense_seg_big(data, bs, depth=3)
+        assert comp[j, :clen[j]].tobytes() == want, j
+
+
+def test_compiled_v8_512k_parity_and_fuzz(fixtures):
+    """v8 HBM-tape decoder at 512 KiB compiled on hardware: parity on a
+    compressibility spectrum + malformed-mutant fuzz (round-4 advisor
+    item 1: the >256 KiB default decode path had no hardware suite)."""
+    from lz4_sgori_tpu.ops.pallas.lockstep_v8 import (
+        decompress_blocks_lockstep_v8)
+
+    bs = 512 * 1024
+    base = (fixtures["mixed"] * ((bs // len(fixtures["mixed"])) + 1))
+    rng = np.random.RandomState(23)
+    raws = [base[:bs], bytes(bs),
+            rng.randint(0, 256, bs).astype(np.uint8).tobytes(),
+            (fixtures["text_large"]
+             * ((bs // len(fixtures["text_large"])) + 1))[:bs],
+            base[:bs - 1333], b""]
+    comps = [golden.compress(r) for r in raws]
+    # malformed mutants of the first compressed stream
+    muts = []
+    for k in range(64):
+        m = bytearray(comps[0])
+        pos = rng.randint(0, len(m))
+        m[pos] = (m[pos] + 1 + rng.randint(0, 255)) % 256
+        muts.append(bytes(m))
+    allc = comps + muts
+    comp, clen = _pack(allc, max(len(c) for c in allc) + 8)
+    out, out_len, err = decompress_blocks_lockstep_v8(
+        comp, clen, bs, sr=512, unroll=4, transfers=1)
+    out = np.asarray(out)
+    err = np.asarray(err)
+    for j, r in enumerate(raws):
+        assert not err[j], f"spectrum {j}"
+        assert int(out_len[j]) == len(r), f"spectrum {j}"
+        assert bytes(out[j, :len(r)]) == r, f"spectrum {j}"
+    # mutants: err flag must equal golden's verdict; valid decodes must
+    # be byte-identical
+    for k, m in enumerate(muts):
+        j = len(raws) + k
+        try:
+            want = golden.decompress(m, bs)
+            ok = True
+        except golden.DecodeError:
+            ok = False
+        assert bool(err[j]) == (not ok), f"mutant {k}"
+        if ok:
+            assert int(out_len[j]) == len(want), f"mutant {k}"
+            assert bytes(out[j, :len(want)]) == want, f"mutant {k}"

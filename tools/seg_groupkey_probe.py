@@ -38,13 +38,16 @@ def main():
     rlen_d = jax.device_put(rlen_np, dev)
     print(f"[gk] {nb} x {bs} device {dev}", flush=True)
 
-    # per-segment TRUE parse rounds (one instrumented run)
-    _, _, rounds = compress_blocks_lockstep_seg(
-        raw_d, rlen_d, bs, debug_rounds=True)
-    rounds = np.asarray(rounds)                  # (nb, nseg)
-    print(f"[gk] rounds: mean {rounds.mean():.0f} max {rounds.max()} "
-          f"p50 {np.percentile(rounds, 50):.0f}", flush=True)
-    key = jnp.asarray(rounds.reshape(-1), jnp.int32)
+    # per-segment sequence counts (the live-round proxy; debug_rounds
+    # returns GROUP lengths, not per-lane cost — measured useless as a
+    # key)
+    nsl, _, _ = compress_blocks_lockstep_seg(
+        raw_d, rlen_d, bs, seg_nseq=True)
+    nsl = np.asarray(nsl)
+    print(f"[gk] seg nseq: mean {nsl.mean():.0f} max {nsl.max()} "
+          f"p50 {np.percentile(nsl, 50):.0f} "
+          f"p95 {np.percentile(nsl, 95):.0f}", flush=True)
+    key = jnp.asarray(nsl.reshape(-1), jnp.int32)
 
     def timeit(label, **kw):
         def run(n=1):
@@ -72,7 +75,7 @@ def main():
               f"({nb * bs / best / 1e9:.3f} GB/s)", flush=True)
 
     timeit("dens-grouped (today)")
-    timeit("oracle rounds-grouped", group_key=key)
+    timeit("nseq-grouped", group_key=key)
     timeit("ungrouped", group_sort=False)
 
 

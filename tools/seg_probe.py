@@ -59,11 +59,15 @@ def main():
     if wb:
         kw["wb_band"] = int(wb)
 
+    from lz4_sgori_tpu.ops.routing import seg_for
+    segsz = seg_for(bs) if bs > 65536 else 4096
+    print(f"[seg] seg={segsz}", flush=True)
+
     def run(stage, n=1):
         acc = None
         for _ in range(n):
             c, cl, e = compress_blocks_lockstep_seg(
-                raw_d, rlen_d, bs, stage=stage,
+                raw_d, rlen_d, bs, seg=segsz, stage=stage,
                 debug_rounds=dbg_rounds and stage == "all", **kw)
             s = jnp.sum(cl) + jnp.sum(e) + jnp.sum(c[0, :1].astype(
                 jnp.int32))
@@ -90,7 +94,8 @@ def main():
 
     if dbg_rounds:
         c, cl, e = compress_blocks_lockstep_seg(
-            raw_d, rlen_d, bs, stage="all", debug_rounds=True, **kw)
+            raw_d, rlen_d, bs, seg=segsz, stage="all",
+            debug_rounds=True, **kw)
         # debug_rounds: err lanes carry round counts (per segment lane)
         r = np.asarray(e)
         print(f"[seg] rounds: shape {r.shape} max={r.max()} "

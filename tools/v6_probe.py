@@ -63,8 +63,6 @@ def main():
             print(f"[v6] HOT={v7mod.HOT}", flush=True)
         decompress_blocks_lockstep_v6 = v7mod.decompress_blocks_lockstep_v7
         kw.pop("streams", None)
-        kw.pop("nofar", None)
-        kw.pop("noflush", None)
         kw["transfers"] = int(os.environ.get("V7_TRANSFERS", "2"))
     else:
         from lz4_sgori_tpu.ops.pallas.lockstep_v6 import (
