@@ -1803,60 +1803,36 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
             [LK.unpack_tapes(out_w[g]) for g in range(ng_a)], axis=0)
         out_len = olen_w.reshape(-1)[:nb1]
     else:
-        # ---- merge-tree fallback (block sizes whose source column
-        # exceeds VMEM — 512 KiB-4 MiB). Vmapped dynamic_update_slice
-        # lowers to scatters (~17 GB/s effective); the round-4 flat
-        # loop paid 3*nseg full-buffer updates per block. A binary
-        # merge tree pays ~log2(nseg) buffer passes instead: stage 0
-        # concats (stream|hdr|tail) per segment on piece-sized buffers,
-        # then pieces merge pairwise until one stream per block. ----
+        # ---- vmapped-DUS fallback (block sizes whose source column
+        # exceeds VMEM: 512 KiB - 4 MiB). A binary merge tree was
+        # built and MEASURED WORSE here (config-6 probe: +184 ms vs
+        # this loop at 1 MiB — the bound-padded piece tapes multiply
+        # traffic faster than the log-factor saves; XLA fuses this
+        # flat in-place update chain better than predicted). ----
         ocb = streams.shape[1]
+        abound = _roundup(bound + 4 * nseg + 64 + max(ocb, seg, HMAX),
+                          128)
         rawt = jnp.concatenate([rawm, jnp.zeros((nb1, seg), jnp.uint8)],
                                axis=1)
-        P0 = _roundup(ocb + HMAX + seg + 8, 128)
-        st0 = jnp.pad(streams.reshape(nb1 * nseg, ocb),
-                      ((0, 0), (0, P0 - ocb)))
-        hdr0 = hdr.reshape(nb1 * nseg, HMAX)
-        sl0 = slen2.reshape(-1)
-        hl0 = hlen2.reshape(-1)
-        tl0 = tl.reshape(-1)
-        # per-block tail slices (batched dynamic_slice reads, no
-        # cross-block gather)
-        tails = jax.vmap(lambda row, les: jax.vmap(
-            lambda le: jax.lax.dynamic_slice(row, (le,), (seg,)))(les))(
-            rawt, leg2).reshape(nb1 * nseg, seg)
+        streams2 = streams.reshape(nb1, nseg, ocb)
+        hdr2 = hdr.reshape(nb1, nseg, HMAX)
 
-        def seg_piece(buf, hd, sl, hl, tail, tl_k):
-            buf = jax.lax.dynamic_update_slice(buf, hd, (sl,))
-            buf = jax.lax.dynamic_update_slice(buf, tail, (sl + hl,))
-            ln = sl + hl + tl_k
-            return jnp.where(jnp.arange(P0) < ln, buf, 0), ln
+        def asm_one(st_b, hd_b, raw_b, sl_b, hl_b, le_b, tl_b):
+            outb = jnp.zeros((abound,), jnp.uint8)
+            off = jnp.int32(0)
+            for k in range(nseg):
+                outb = jax.lax.dynamic_update_slice(outb, st_b[k], (off,))
+                off = off + sl_b[k]
+                outb = jax.lax.dynamic_update_slice(outb, hd_b[k], (off,))
+                off = off + hl_b[k]
+                tail = jax.lax.dynamic_slice(raw_b, (le_b[k],), (seg,))
+                outb = jax.lax.dynamic_update_slice(outb, tail, (off,))
+                off = off + tl_b[k]
+            outb = jnp.where(jnp.arange(abound) < off, outb, 0)
+            return outb, off
 
-        pieces, plen = jax.vmap(seg_piece)(st0, hdr0, sl0, hl0, tails,
-                                           tl0)
-        width = P0
-        cnt = nseg
-        while cnt > 1:
-            old_w = width
-            width = _roundup(2 * width, 128)
-            a = pieces[0::2]
-            b = pieces[1::2]
-            la = plen[0::2]
-            a = jnp.pad(a, ((0, 0), (0, width - a.shape[1])))
-
-            # the update must be NARROWER than the buffer: a full-width
-            # update makes dynamic_update_slice clamp its start to 0.
-            # la <= old_w, so the old-width update never clips.
-            def merge(x, y, lx):
-                return jax.lax.dynamic_update_slice(x, y, (lx,))
-
-            pieces = jax.vmap(merge)(a, b, la)
-            plen = la + plen[1::2]
-            cnt //= 2
-            del old_w
-        out_len = plen
-        pos_a = jnp.arange(width)[None, :]
-        data = jnp.where(pos_a < out_len[:, None], pieces, 0)
+        data, out_len = jax.vmap(asm_one)(streams2, hdr2, rawt, slen2,
+                                          hlen2, leg2, tl)
     if debug_rounds:                     # serr carries per-lane rounds
         return (data[:nb, :bound], out_len[:nb],
                 serr.reshape(nb1, nseg)[:nb])

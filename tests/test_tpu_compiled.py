@@ -311,38 +311,6 @@ def test_compiled_write_pipeline_sharded_big_blocks(fixtures):
             assert got == r, j
 
 
-def test_compiled_v9_chain_parity(fixtures):
-    """v9 chained decoder compiled on hardware: per-lane chains of two
-    4 KiB blocks (short + empty mid-chain slots force transition
-    rebasing), checked byte/len/err-exact against golden. The engine is
-    not dispatched (slower than v7 end-to-end — see docs/Performance.md
-    round-4 'lane chaining') but must stay correct: it is the measured
-    reference point for the per-lane-walk rework."""
-    from lz4_sgori_tpu.ops.pallas.lockstep_v9 import (
-        decompress_blocks_lockstep_v9)
-
-    raws = [
-        fixtures["text_small"][:BS],
-        bytes(BS),
-        fixtures["rle_period3"][:BS],
-        fixtures["random_4k"][:BS],
-        fixtures["structured"][:BS],
-        fixtures["text_small"][:1037],     # short: mid-chain output gap
-        b"",                               # empty chain slot
-        fixtures["mixed"][:BS],
-    ]
-    comps = [golden.compress(r) for r in raws]
-    slot = -(-(max(len(c) for c in comps) + 8) // 32) * 32
-    comp, clen = _pack(comps, slot)
-    out, out_len, err = decompress_blocks_lockstep_v9(
-        comp, clen, BS, chain=2, sr=64)
-    out, out_len, err = np.asarray(out), np.asarray(out_len), \
-        np.asarray(err)
-    for j, r in enumerate(raws):
-        assert not err[j], j
-        assert int(out_len[j]) == len(r), j
-        assert out[j, :len(r)].tobytes() == r, j
-
 
 def test_compiled_enc3_depth5_parity(fixtures):
     """depth=5 (match_depth >= 4) mode: compiled parity vs
@@ -361,44 +329,6 @@ def test_compiled_enc3_depth5_parity(fixtures):
         want = golden.compress_deep(data, depth=5)
         assert comp[j, :clen[j]].tobytes() == want, names[j]
 
-
-def test_compiled_v9_fuzz(fixtures):
-    """512 corrupted streams through the compiled v9 CHAINED decoder
-    (chain=2: every lane decodes two independent mutants back-to-back):
-    strict err equivalence with golden per chain slot — an errored or
-    truncated block must neither poison nor borrow bytes from its
-    lane's next block."""
-    from lz4_sgori_tpu.ops.pallas.lockstep_v9 import (
-        decompress_blocks_lockstep_v9)
-
-    rng = np.random.default_rng(0xBEEF9)
-    bases = [bytes(golden.compress(fixtures[n][:BS]))
-             for n in ("text_small", "zeros_4k", "rle_period3",
-                       "random_4k", "structured", "mixed")]
-    slot = F.compress_bound(BS) + 8
-    muts = make_mutants(bases, rng, 512, slot)
-    comp, clen = _pack(muts, slot)
-    out, olen, err = decompress_blocks_lockstep_v9(
-        comp, clen, BS, chain=2, sr=512)
-    out = np.asarray(out)
-    olen = np.asarray(olen)
-    err = np.asarray(err)
-    n_acc = n_rej = 0
-    for j, m in enumerate(muts):
-        try:
-            want = golden.decompress(m, BS)
-            ok_ref = True
-        except ValueError:
-            ok_ref = False
-        assert bool(err[j]) == (not ok_ref), \
-            f"mutant {j}: v9 err={bool(err[j])} golden ok={ok_ref}"
-        if ok_ref:
-            n_acc += 1
-            assert olen[j] == len(want), j
-            assert out[j, :olen[j]].tobytes() == want, j
-        else:
-            n_rej += 1
-    assert n_acc >= 16 and n_rej >= 128, (n_acc, n_rej)
 
 
 def test_compiled_seg_big_deep_parity(fixtures):

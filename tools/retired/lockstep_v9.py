@@ -1,4 +1,11 @@
-"""Lane-lockstep LZ4 decoder v9: per-lane block CHAINS over the v7 machine.
+"""RETIRED (round 5): lane-lockstep LZ4 decoder v9 — per-lane block CHAINS.
+
+Kept outside the package as the measured reference point for the
+makespan lever (docs/Performance.md round-4 "lane chaining", round-5
+stint/chain simulator): bit-exact, but SLOWER than v7 on the span-walk
+machine, and the per-lane-range walk substrate it needs (v8 DMA) costs
+more than it saves at <= 64 KiB. Imports below still resolve when run
+from the repo root with the package on sys.path.
 
 Round-4 measurement (docs/Performance.md, tools/chain_sim.py): with nseq
 cost hints in place, the residual decode gap to the same-block bound is
@@ -53,17 +60,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ... import format as F
-from . import lockstep as LK
-from .lockstep import (
+from lz4_sgori_tpu import format as F
+from lz4_sgori_tpu.ops.pallas import lockstep as LK
+from lz4_sgori_tpu.ops.pallas.lockstep import (
     TOK, LLSIC, LIT, OFF, MLSIC, MATCH, DONE, ERR,
     CAP, CAPW, LSIC_P,
     _bcast, _sb, _lsic_scan, funnel,
 )
-from .lockstep_v4 import BAND, EW, LW, RESERVE, extract_bytes_banded
-from .lockstep_v6 import (BIG, FBAND, FH, flush_ring, place_ring,
+from lz4_sgori_tpu.ops.pallas.lockstep_v4 import BAND, EW, LW, RESERVE, extract_bytes_banded
+from lz4_sgori_tpu.ops.pallas.lockstep_v6 import (BIG, FBAND, FH, flush_ring, place_ring,
                           ring_extract_bytes)
-from .lockstep_v7 import HOT, HSPAN, HOT_D, FROWS, transfer_frames
+from lz4_sgori_tpu.ops.pallas.lockstep_v7 import HOT, HSPAN, HOT_D, FROWS, transfer_frames
 
 LANES = LK.LANES
 

@@ -45,7 +45,11 @@ def main():
         kw.pop("nofar", None)
         kw.pop("noflush", None)
     elif os.environ.get("V6_ENGINE") == "v9":
-        from lz4_sgori_tpu.ops.pallas.lockstep_v9 import (
+        import sys as _sys, os as _os
+        _sys.path.insert(0, _os.path.join(_os.path.dirname(
+            _os.path.dirname(_os.path.abspath(__file__))),
+            "tools", "retired"))
+        from lockstep_v9 import (
             decompress_blocks_lockstep_v9 as decompress_blocks_lockstep_v6)
         kw.pop("streams", None)
         kw.pop("nofar", None)
