@@ -148,10 +148,10 @@ def test_asm_kernel_per_group_path():
                     (force, g, L)
 
 
-def test_seg_merge_tree_fallback_parity():
+def test_seg_asm_fallback_parity():
     """Shapes whose source column misaligns the asm kernel's banded
     walk (8 KiB blocks, 4 KiB segments: SWR % 64 != 0) take the
-    merge-tree assembly; parity vs golden.compress_dense_seg."""
+    vmapped-DUS assembly fallback; parity vs golden.compress_dense_seg."""
     bs, sg = 8192, 4096
     rng = np.random.default_rng(12)
     blocks = [
