@@ -127,8 +127,8 @@ def decompress_blocks_device(comp, comp_len, out_size: int,
     Engine selection lives in ONE place: ``ops.routing.select_decode_engine``
     (see its module docstring for the size-band table; pinned by
     tests/test_routing.py). impl forces an engine: "xla",
-    "lockstep_v6", "lockstep"/"lockstep_v7", "lockstep_v8",
-    "lockstep_v10"; unknown names raise ValueError.
+    "lockstep_v6", "lockstep"/"lockstep_v7", "lockstep_v8";
+    unknown names raise ValueError.
 
     cost_key: optional int32 [num_blocks] decode-cost hint used to group
     same-cost blocks into lockstep lanes (the encoder's per-block
@@ -156,11 +156,6 @@ def decompress_blocks_device(comp, comp_len, out_size: int,
         out, out_len, err = decompress_blocks_lockstep_v8(
             comp, comp_len, out_size, sr=512, unroll=4, transfers=1,
             sort_key=cost_key, interpret=not on_tpu)
-    elif engine == "v10":
-        from .pallas.lockstep_v10 import decompress_blocks_lockstep_v10
-        out, out_len, err = decompress_blocks_lockstep_v10(
-            comp, comp_len, out_size, sort_key=cost_key,
-            interpret=not on_tpu)
     elif engine == "v7":
         from .pallas.lockstep_v7 import decompress_blocks_lockstep_v7
         # unroll=6 measured best on v5e (0.786 vs 0.734 at u=4: optA's

@@ -15,8 +15,6 @@ Engines (decode):
   v6    lockstep ring engine       (TPU; envelope edges: < 16 KiB and
                                     the 132-256 KiB band)
   v7    lockstep hot-ring engine   (TPU; 16-128 KiB core band)
-  v10   stint-scheduled hot-ring   (TPU; replaces v7/v6 in the 16-256
-                                    KiB band when enabled)
   v8    HBM-tape engine            (TPU; 512 KiB - 4 MiB)
 
 Engines (encode):
@@ -45,7 +43,7 @@ VMEM_MAX_BLOCK = 262144     # largest block the pure-VMEM engines hold
 
 ENCODE_IMPLS = ("auto", "xla", "enc3", "seg", "pallas")
 DECODE_IMPLS = ("auto", "xla", "lockstep", "lockstep_v6", "lockstep_v7",
-                "lockstep_v8", "lockstep_v10")
+                "lockstep_v8")
 
 
 def seg_for(block_size: int) -> int | None:
@@ -67,8 +65,7 @@ def select_decode_engine(out_size: int, on_tpu: bool,
                          impl: str = "auto") -> str:
     """Return the decode engine name: 'xla' | 'v6' | 'v7' | 'v8' | 'v10'."""
     forced = {"xla": "xla", "lockstep_v6": "v6", "lockstep": "v7",
-              "lockstep_v7": "v7", "lockstep_v8": "v8",
-              "lockstep_v10": "v10"}
+              "lockstep_v7": "v7", "lockstep_v8": "v8"}
     if impl != "auto":
         if impl not in forced:
             raise ValueError(
