@@ -63,7 +63,7 @@ def seg_for(block_size: int) -> int | None:
 
 def select_decode_engine(out_size: int, on_tpu: bool,
                          impl: str = "auto") -> str:
-    """Return the decode engine name: 'xla' | 'v6' | 'v7' | 'v8' | 'v10'."""
+    """Return the decode engine name: 'xla' | 'v6' | 'v7' | 'v8'."""
     forced = {"xla": "xla", "lockstep_v6": "v6", "lockstep": "v7",
               "lockstep_v7": "v7", "lockstep_v8": "v8"}
     if impl != "auto":
