@@ -30,7 +30,7 @@ from .utils.stats import Stats
 
 MAGIC = b"LZ4J"
 VERSION = 1
-_HEADER = struct.Struct("<4sBBHIIQ")  # magic, ver, flags, pad, block_size, nblocks, raw_size
+_HEADER = struct.Struct("<4sBBHIIQ")  # magic ver flags pad bs nblocks rawsz
 FLAG_CRC = 1  # per-block crc32 of the raw bytes follows the size table
 
 DEFAULT_BLOCK_SIZE = 65536

@@ -44,7 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import lockstep as LK
-from .lockstep import CAP, CAPW, _bcast, byteshift_up
+from .lockstep import CAP, CAPW, _bcast
 from .lockstep_v4 import BAND, extract_bytes_banded
 from .lockstep_v6 import BIG, FH, flush_ring, place_ring
 
