@@ -355,12 +355,12 @@ def decompress_blocks_lockstep_v8(comp, comp_len, out_size: int,
                           transfers=transfers, debug_rounds=debug_rounds),
         grid=(ng,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # comp (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # comp (HBM)
             pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # out (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # out (HBM)
             pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
         ],
