@@ -732,6 +732,66 @@ def dense_gaps2(src: bytes, hashlog: int = 16, max_gap: int = 254):
     return out
 
 
+def dense_mcode(src: bytes, hashlog: int = 16):
+    """Pass-1.5 oracle: verified candidates + exact capped match
+    precompute (the round-5 wb-walk-elimination design,
+    docs/Performance.md round-5 encode section).
+
+    For each position p with a dense candidate d (dense_candidates
+    semantics, hashlog 16, no val16 filter), q = p - d:
+
+      * vr:   read32(p) == read32(q) (exact verify — kills the ~9%
+              hash16 false probes at the source);
+      * mlen: exact forward match length CAPPED at 12 (4 + byte-exact
+              lcp of src[p+4..] vs src[q+4..] over 8 bytes, compared
+              against the zero-padded tape exactly as the kernel
+              does); more_f set when all 8 extension bytes match
+              (true length >= 12 — the parse continues in EXT);
+      * cu:   exact backward catch-up CAPPED at 4 (trailing equality
+              of src[p-4..p) vs src[q-4..q), bytes before position 0
+              reading 0 on both sides); more_b set at cu == 4.
+              Consumers clamp by anchors, exactly like the parse.
+
+    Returns (cand_d2, mcode): cand_d2 is dense_candidates with
+    UNVERIFIED candidates zeroed (parse-byte-neutral: the parse
+    re-verifies with read32 and treats a failed probe as no-match);
+    mcode[p] packs more_f | (mlen - 4) << 1 | more_b << 5 | cu << 6,
+    zero where cand_d2[p] == 0.
+    """
+    n = len(src)
+    cand = dense_candidates(src, hashlog=hashlog, val16_filter=False)
+    padded = bytes(4) + src + bytes(12)     # index shift +4; zero pads
+
+    def rd(i, k):
+        return padded[i + 4:i + 4 + k]
+
+    d2 = [0] * n
+    mc = [0] * n
+    for p_pos in range(n):
+        d = cand[p_pos]
+        if not d:
+            continue
+        q = p_pos - d
+        if rd(p_pos, 4) != rd(q, 4):
+            continue                         # vr fail: candidate zeroed
+        d2[p_pos] = d
+        a = rd(p_pos + 4, 8)
+        b = rd(q + 4, 8)
+        lcp = 0
+        while lcp < 8 and a[lcp] == b[lcp]:
+            lcp += 1
+        more_f = 1 if lcp == 8 else 0
+        ab = rd(p_pos - 4, 4)
+        bb = rd(q - 4, 4)
+        cu = 0
+        while cu < 4 and ab[3 - cu] == bb[3 - cu]:
+            cu += 1
+        more_b = 1 if cu == 4 else 0
+        mc[p_pos] = more_f | ((4 + lcp - 4) << 1) | (more_b << 5) \
+            | (cu << 6)
+    return d2, mc
+
+
 def dense_candidates_piecewise(src: bytes, piece: int = 65536,
                                hashlog: int = 16, max_gap: int = 254,
                                with_gaps: bool = False):

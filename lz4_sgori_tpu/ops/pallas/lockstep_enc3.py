@@ -161,6 +161,96 @@ def _exchange(x, dist: int, keep_min, iota):
     return jnp.where(bit0, keepf, jnp.roll(sendf, dist, axis=0))
 
 
+def _exchange_p(x, ps, dist: int, keep_min, iota):
+    """_exchange with payload tuples permuted by the key decision.
+    Keys must be UNIQUE (they are: hash16 << 16 | pos); `took` detects
+    whether the kept value came from the partner row."""
+    n = x.shape[0]
+    fwd = jnp.roll(x, n - dist, axis=0)
+    mnf = jnp.minimum(x, fwd)
+    mxf = jnp.maximum(x, fwd)
+    keepf = jnp.where(keep_min, mnf, mxf)
+    sendf = jnp.where(keep_min, mxf, mnf)
+    took = keepf == fwd
+    bit0 = (iota & dist) == 0
+    x2 = jnp.where(bit0, keepf, jnp.roll(sendf, dist, axis=0))
+    ps2 = []
+    for pv in ps:
+        pf = jnp.roll(pv, n - dist, axis=0)
+        kp = jnp.where(took, pf, pv)
+        sp = jnp.where(took, pv, pf)
+        ps2.append(jnp.where(bit0, kp, jnp.roll(sp, dist, axis=0)))
+    return x2, tuple(ps2)
+
+
+def _sort_ref_p(ref, prefs, g, NP: int):
+    """_sort_ref carrying payload refs permuted identically (the
+    round-5 mlen-precompute design; payload traffic multiplies the
+    bandwidth-bound stage cost ~(1 + #payloads)). Keys must be unique."""
+    ch = min(CHUNK, NP)
+    nch = NP // ch
+    iota = _iota_rows(ch)
+    logch = ch.bit_length() - 1
+
+    def sort_chunk(c, carry):
+        x = ref[g, pl.ds(c * ch, ch), :]
+        ps = tuple(r[pl.ds(c * ch, ch), :] for r in prefs)
+        flip = _bcast((c & 1) == 1, ch)
+        for j in range(logch):
+            for k in range(j, -1, -1):
+                up = (((iota >> (j + 1)) & 1) == 0) ^ flip
+                x, ps = _exchange_p(x, ps, 1 << k, up, iota)
+        ref[g, pl.ds(c * ch, ch), :] = x
+        for r, pv in zip(prefs, ps):
+            r[pl.ds(c * ch, ch), :] = pv
+        return carry
+
+    jax.lax.fori_loop(0, nch, sort_chunk, 0)
+
+    m = 2
+    while m <= nch:
+        dd = m // 2
+        while dd >= 1:
+            def cross(t, carry, dd=dd, m=m):
+                blk = t // dd
+                off = t - blk * dd
+                i = blk * 2 * dd + off
+                a = ref[g, pl.ds(i * ch, ch), :]
+                b = ref[g, pl.ds((i + dd) * ch, ch), :]
+                asc = _bcast(((i // m) & 1) == 0, ch)
+                mn = jnp.minimum(a, b)
+                mx = jnp.maximum(a, b)
+                oa = jnp.where(asc, mn, mx)
+                took = oa == b
+                ref[g, pl.ds(i * ch, ch), :] = oa
+                ref[g, pl.ds((i + dd) * ch, ch), :] = \
+                    jnp.where(asc, mx, mn)
+                for r in prefs:
+                    pa = r[pl.ds(i * ch, ch), :]
+                    pb = r[pl.ds((i + dd) * ch, ch), :]
+                    r[pl.ds(i * ch, ch), :] = jnp.where(took, pb, pa)
+                    r[pl.ds((i + dd) * ch, ch), :] = \
+                        jnp.where(took, pa, pb)
+                return carry
+
+            jax.lax.fori_loop(0, nch // 2, cross, 0)
+            dd //= 2
+
+        def intra(c, carry, m=m):
+            x = ref[g, pl.ds(c * ch, ch), :]
+            ps = tuple(r[pl.ds(c * ch, ch), :] for r in prefs)
+            asc = _bcast(((c // m) & 1) == 0, ch)
+            for k in range(logch - 1, -1, -1):
+                x, ps = _exchange_p(x, ps, 1 << k, asc, iota)
+            ref[g, pl.ds(c * ch, ch), :] = x
+            for r, pv in zip(prefs, ps):
+                r[pl.ds(c * ch, ch), :] = pv
+            return carry
+
+        jax.lax.fori_loop(0, nch, intra, 0)
+        m *= 2
+
+
 def _sort_ref(ref, g, NP: int):
     """Ascending bitonic sort of ref[g] ((NP,128) int32 rows) in place."""
     ch = min(CHUNK, NP)
@@ -213,7 +303,8 @@ def _sort_ref(ref, g, NP: int):
 
 
 def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
-                 depth: int = 1, gaps2_only: bool = False):
+                 depth: int = 1, gaps2_only: bool = False,
+                 mlen_mode: bool = False):
     """Dense hash16 candidates for one 128-lane group.
 
     Writes cand_ref rows p = (p << 16) | d16[p] (d16 in the low half —
@@ -229,7 +320,11 @@ def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
     output alongside cand+gaps measured 154M vs the 128M budget at
     64 KiB blocks).
     """
-    if depth > 1:
+    pv32_ref = pw4_ref = pw8_ref = pbm1_ref = None
+    if mlen_mode:
+        mcode_ref, dens_ref, pv32_ref, pw4_ref, pw8_ref, pbm1_ref = rest
+        gaps_ref = None
+    elif depth > 1:
         gaps_ref, dens_ref = rest
     else:
         dens_ref, = rest
@@ -244,6 +339,16 @@ def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
     t0 = src_ref[g, 0:np4, :]
     t1 = src_ref[g, 1:np4 + 1, :]
     i4 = _iota_rows(np4) * 4
+    if mlen_mode:
+        # payload tapes in the SAME phase-row order as the keys: the
+        # sort permutes them identically. v32(p), w32(p+4), w32(p+8),
+        # and w32(p-4) — the raw words of the round-5 exact capped
+        # match-length precompute (docs/Performance.md round-5).
+        t2 = src_ref[g, 2:np4 + 2, :]
+        t3 = src_ref[g, 3:np4 + 3, :]
+        tm = jnp.concatenate(
+            [jnp.zeros((1, LANES), jnp.int32), src_ref[g, 0:np4 - 1, :]],
+            axis=0)
     for f in range(4):
         if f == 0:
             v = t0
@@ -252,10 +357,28 @@ def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
         h16 = LK.shift_right_u(v * _HASH4_MUL, 32 - HASHLOG)
         cand_ref[g, pl.ds(f * np4, np4), :] = \
             LK.shift_left_u(h16, 16) | (i4 + f)
+        if mlen_mode:
+            if f == 0:
+                w4, w8, bm1 = t1, t2, tm
+            else:
+                w4 = LK.shift_right_u(t1, 8 * f) \
+                    | LK.shift_left_u(t2, 32 - 8 * f)
+                w8 = LK.shift_right_u(t2, 8 * f) \
+                    | LK.shift_left_u(t3, 32 - 8 * f)
+                bm1 = LK.shift_right_u(tm, 8 * f) \
+                    | LK.shift_left_u(t0, 32 - 8 * f)
+            pv32_ref[pl.ds(f * np4, np4), :] = v
+            pw4_ref[pl.ds(f * np4, np4), :] = w4
+            pw8_ref[pl.ds(f * np4, np4), :] = w8
+            pbm1_ref[pl.ds(f * np4, np4), :] = bm1
 
     # ---- sort 1 by (hash16, pos): signed order groups buckets and
     # ascends by pos within them (the sign bit is constant per bucket) ----
-    _sort_ref(cand_ref, g, NP)
+    if mlen_mode:
+        _sort_ref_p(cand_ref, (pv32_ref, pw4_ref, pw8_ref, pbm1_ref),
+                    g, NP)
+    else:
+        _sort_ref(cand_ref, g, NP)
 
     # ---- d16: previous row in the same bucket is the candidate.
     # Invalid positions (p > n-4: partial tail words, pad) always sort
@@ -280,6 +403,44 @@ def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
         grow = iota_c + c * ch
         first = grow > 0
         d16 = jnp.where(same & valid & first, d, 0)
+        if mlen_mode:
+            # exact verify + capped lcp/catch-up from the carried raw
+            # words of this row and the previous (candidate) row
+            def prevrow(r):
+                cur = r[pl.ds(c * ch, ch), :]
+                pr8 = r[pl.ds(jnp.maximum(c * ch - 8, 0), 8), :]
+                return cur, jnp.concatenate([pr8[7:8], cur[:ch - 1]],
+                                            axis=0)
+
+            v32c, v32p = prevrow(pv32_ref)
+            w4c, w4p = prevrow(pw4_ref)
+            w8c, w8p = prevrow(pw8_ref)
+            bm1c, bm1p = prevrow(pbm1_ref)
+            vr = (v32c ^ v32p) == 0
+            d16 = jnp.where(vr, d16, 0)
+
+            def lead4(yw):
+                e0 = ((yw & 0xFF) == 0).astype(jnp.int32)
+                e1 = ((yw & 0xFF00) == 0).astype(jnp.int32)
+                e2 = ((yw & jnp.int32(0xFF0000)) == 0).astype(jnp.int32)
+                e3 = (LK.shift_right_u(yw, 24) == 0).astype(jnp.int32)
+                return e0 * (1 + e1 * (1 + e2 * (1 + e3)))
+
+            lcp4 = lead4(w4c ^ w4p)
+            lcp = lcp4 + jnp.where(lcp4 == 4, lead4(w8c ^ w8p), 0)
+            z = bm1c ^ bm1p
+            c3 = (LK.shift_right_u(z, 24) == 0).astype(jnp.int32)
+            c2 = ((z & jnp.int32(0xFF0000)) == 0).astype(jnp.int32)
+            c1 = ((z & 0xFF00) == 0).astype(jnp.int32)
+            c0 = ((z & 0xFF) == 0).astype(jnp.int32)
+            cu = c3 * (1 + c2 * (1 + c1 * (1 + c0)))
+            mcode = (lcp == 8).astype(jnp.int32) \
+                | LK.shift_left_u(lcp, 1) \
+                | LK.shift_left_u((cu == 4).astype(jnp.int32), 5) \
+                | LK.shift_left_u(cu, 6)
+            mcode = jnp.where(d16 != 0, mcode, 0)
+            mcode_ref[g, pl.ds(c * ch, ch), :] = \
+                (LK.shift_left_u(pos, 16) | mcode) ^ jnp.int32(-0x80000000)
         if depth > 1 or gaps2_only:
             prev2 = jnp.concatenate([pr8[6:8], x[:ch - 2]], axis=0)
             prev3 = jnp.concatenate([pr8[5:8], x[:ch - 3]], axis=0)
@@ -320,12 +481,14 @@ def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
 
     # ---- sort 2 by pos, then unbias + density ----
     _sort_ref(cand_ref, g, NP)
-    if depth > 1:
-        _sort_ref(gaps_ref, g, NP)
+    if depth > 1 or mlen_mode:
+        second_ref = mcode_ref if mlen_mode else gaps_ref
+        _sort_ref(second_ref, g, NP)
 
         def unbias_g(c, carry):
-            gaps_ref[g, pl.ds(c * ch, ch), :] = \
-                gaps_ref[g, pl.ds(c * ch, ch), :] ^ jnp.int32(-0x80000000)
+            second_ref[g, pl.ds(c * ch, ch), :] = \
+                second_ref[g, pl.ds(c * ch, ch), :] \
+                ^ jnp.int32(-0x80000000)
             return carry
 
         jax.lax.fori_loop(0, nch, unbias_g, 0)
@@ -347,7 +510,7 @@ def _grid_fits(*buffers) -> bool:
 
 
 def _cand_call(tapes, nlane, NP: int, interpret: bool, depth: int = 1,
-               gaps2_only: bool = False):
+               gaps2_only: bool = False, mlen_mode: bool = False):
     """Small blocks run one multi-group grid; large blocks invoke per
     group (a multi-group grid double-buffers the 32 MB cand output and
     blows VMEM, while per-group output concats of SMALL pieces trigger
@@ -357,15 +520,19 @@ def _cand_call(tapes, nlane, NP: int, interpret: bool, depth: int = 1,
     exceeds the depth-3 two-tape level."""
     sw = tapes.shape[1]
     ng = tapes.shape[0]
-    ntapes = 2 if depth > 1 else 1
-    grid_ng = ng if _grid_fits(sw, ntapes * NP) else 1
+    ntapes = 2 if (depth > 1 or mlen_mode) else 1
+    pay = 4 * NP if mlen_mode else 0
+    grid_ng = ng if _grid_fits(sw, ntapes * NP + pay) else 1
     big = [pl.BlockSpec((1, NP, LANES), lambda g: (g, 0, 0))
            for _ in range(ntapes)]
+    scratch = [pltpu.VMEM((NP, LANES), jnp.int32)
+               for _ in range(4)] if mlen_mode else []
 
     def mk(gn):
         return pl.pallas_call(
             functools.partial(_cand_kernel, NP=NP, depth=depth,
-                              gaps2_only=gaps2_only),
+                              gaps2_only=gaps2_only,
+                              mlen_mode=mlen_mode),
             grid=(gn,),
             in_specs=[
                 pl.BlockSpec((1, sw, LANES), lambda g: (g, 0, 0)),
@@ -378,6 +545,7 @@ def _cand_call(tapes, nlane, NP: int, interpret: bool, depth: int = 1,
                        for _ in range(ntapes)] + [
                 jax.ShapeDtypeStruct((gn, 1, LANES), jnp.int32),
             ],
+            scratch_shapes=scratch,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=126 * 1024 * 1024),
@@ -1132,6 +1300,7 @@ def _permute_blocks(x, order, chunk: int = 2048):
                    static_argnames=("block_size", "accel", "interpret",
                                     "group_sort", "unroll", "debug_rounds",
                                     "debug_modes", "cand_only",
+                                    "mlen_cand",
                                     "return_tails", "return_nseq",
                                     "wb_band", "depth"))
 def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
@@ -1142,6 +1311,7 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
                                   debug_rounds: bool = False,
                                   debug_modes: bool = False,
                                   cand_only: bool = False,
+                                  mlen_cand: bool = False,
                                   return_tails: bool = False,
                                   return_nseq: bool = False,
                                   wb_band: int = 64,
@@ -1183,6 +1353,16 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
     nlane = gl.reshape(ng, 1, LANES)
 
     # ---- pass 1: candidates ----
+    if mlen_cand:
+        # round-6 groundwork probe: verified candidates + exact capped
+        # mlen/catch-up codes via the payload-carrying sort
+        # (golden.dense_mcode contract). VMEM payload tapes bound this
+        # to NP <= 16384 (<= 16 KiB blocks); the production 64 KiB path
+        # needs the HBM-chunked variant (docs/Performance.md round-5).
+        assert cand_only and np_ <= 16384, "mlen_cand: probe-only"
+        cand, mcode, dens = _cand_call(tapes, nlane, np_, interpret,
+                                       mlen_mode=True)
+        return cand, mcode, dens
     gaps2 = None
     if depth > 1:
         cand, gaps, dens = _cand_call(tapes, nlane, np_, interpret,

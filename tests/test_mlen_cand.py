@@ -1,0 +1,49 @@
+"""Payload-carrying pass-1 (mlen precompute) parity vs golden.dense_mcode.
+
+Round-5 groundwork for the wb-walk elimination (docs/Performance.md
+round-5 encode section): the bucket sort carries the raw words
+(v32, w+4, w+8, w-4) alongside the keys, and the d16 pass emits exact
+verified candidates + capped match-length/catch-up codes. VMEM payload
+tapes bound the probe to <= 16 KiB blocks; parity here is the
+correctness gate for the HBM-chunked production variant.
+"""
+
+import numpy as np
+import pytest
+
+from lz4_sgori_tpu import golden
+
+BS = 8192
+
+
+@pytest.mark.parametrize("case", ["text", "mixed", "rle", "random"])
+def test_mlen_cand_parity(case):
+    from lz4_sgori_tpu.ops.pallas.lockstep_enc3 import (
+        compress_blocks_lockstep_enc3)
+
+    rng = np.random.RandomState(41)
+    lorem = (b"Lorem ipsum dolor sit amet, consectetur adipiscing "
+             b"elit, sed do eiusmod tempor incididunt ut labore. ")
+    data = {
+        "text": (lorem * 100)[:BS],
+        "mixed": (lorem * 30)[:2048] + bytes(2048)
+        + rng.randint(0, 256, 2048).astype(np.uint8).tobytes()
+        + (b"ab" * 1024),
+        "rle": b"x" * 4000 + b"yz" * 2000 + b"Q" * 96,
+        "random": rng.randint(0, 256, BS).astype(np.uint8).tobytes(),
+    }[case][:BS]
+
+    raw = np.zeros((1, BS), np.uint8)
+    raw[0, :len(data)] = np.frombuffer(data, np.uint8)
+    rlen = np.array([len(data)], np.int32)
+    cand, mcode, dens = compress_blocks_lockstep_enc3(
+        raw, rlen, BS, interpret=True, cand_only=True, mlen_cand=True)
+    cand = np.asarray(cand)[0, :, 0]
+    mcode = np.asarray(mcode)[0, :, 0]
+    want_d, want_m = golden.dense_mcode(data)
+    got_d = cand & 0xFFFF
+    got_m = mcode & 0xFFFF
+    n = len(data)
+    for p in range(n):
+        assert got_d[p] == want_d[p], (case, p, got_d[p], want_d[p])
+        assert got_m[p] == want_m[p], (case, p, got_m[p], want_m[p])

@@ -29,6 +29,9 @@ def main():
     dbg_rounds = bool(int(os.environ.get("E3_ROUNDS", "0")))
     dbg_modes = bool(int(os.environ.get("E3_MODES", "0")))
     cand_only = bool(int(os.environ.get("E3_CAND", "0")))
+    mlen_cand = bool(int(os.environ.get("E3_MLEN", "0")))
+    if mlen_cand:
+        cand_only = True
     group_sort = not bool(int(os.environ.get("E3_NOSORT", "0")))
     bs = bs_kib * 1024
     nb = groups * 128
@@ -49,11 +52,16 @@ def main():
     rlen_d = jax.device_put(rlen_np, dev)
     kw = dict(accel=accel, debug_rounds=dbg_rounds, debug_modes=dbg_modes,
               group_sort=group_sort, cand_only=cand_only)
+    if mlen_cand:
+        kw["mlen_cand"] = True
 
     t0 = time.perf_counter()
     out = compress_blocks_lockstep_enc3(raw_d, rlen_d, bs, **kw)
     if cand_only:
-        cand, dens = out
+        if mlen_cand:
+            cand, _mcode, dens = out
+        else:
+            cand, dens = out
         s = int(jnp.sum(dens))
         print(f"[e3] cand compile+first {time.perf_counter() - t0:.1f}s "
               f"(dens sum {s})", flush=True)
