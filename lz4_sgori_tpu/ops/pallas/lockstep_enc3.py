@@ -251,6 +251,99 @@ def _sort_ref_p(ref, prefs, g, NP: int):
         m *= 2
 
 
+def _sort_ref_hbm(ref, prefs, stg, sem, g, NP: int):
+    """_sort_ref_p with the payload tapes resident in HBM (pl.ANY refs).
+
+    At NP = 65536 the four payload tapes are 128 MB — far past VMEM —
+    so every chunk operation brackets its payload work with DMA:
+    chunk-local stages load/store one 4096-row chunk per payload
+    (stg[0..3]); cross-chunk merges stage a chunk PAIR (stg[0..7]).
+    Payload DMA traffic is ~160 chunk-ops x 16 MB ~ 2.6 GB per group
+    (~3-4 ms at HBM bandwidth) — the VMEM-bandwidth stage-cost
+    multiplier of the in-VMEM variant applies only to chunk-local
+    stages here. Keys stay in the (VMEM) ref and sort exactly as
+    _sort_ref. Keys must be unique."""
+    NPAY = len(prefs)
+    ch = min(CHUNK, NP)
+    nch = NP // ch
+    iota = _iota_rows(ch)
+    logch = ch.bit_length() - 1
+
+    def dma(src, dst):
+        cp = pltpu.make_async_copy(src, dst, sem)
+        cp.start()
+        cp.wait()
+
+    def sort_chunk(c, carry):
+        x = ref[g, pl.ds(c * ch, ch), :]
+        for k2 in range(NPAY):
+            dma(prefs[k2].at[g, pl.ds(c * ch, ch), :], stg[k2])
+        ps = tuple(stg[k2][...] for k2 in range(NPAY))
+        flip = _bcast((c & 1) == 1, ch)
+        for j in range(logch):
+            for k in range(j, -1, -1):
+                up = (((iota >> (j + 1)) & 1) == 0) ^ flip
+                x, ps = _exchange_p(x, ps, 1 << k, up, iota)
+        ref[g, pl.ds(c * ch, ch), :] = x
+        for k2 in range(NPAY):
+            stg[k2][...] = ps[k2]
+            dma(stg[k2], prefs[k2].at[g, pl.ds(c * ch, ch), :])
+        return carry
+
+    jax.lax.fori_loop(0, nch, sort_chunk, 0)
+
+    m = 2
+    while m <= nch:
+        dd = m // 2
+        while dd >= 1:
+            def cross(t, carry, dd=dd, m=m):
+                blk = t // dd
+                off = t - blk * dd
+                i = blk * 2 * dd + off
+                a = ref[g, pl.ds(i * ch, ch), :]
+                b = ref[g, pl.ds((i + dd) * ch, ch), :]
+                asc = _bcast(((i // m) & 1) == 0, ch)
+                mn = jnp.minimum(a, b)
+                mx = jnp.maximum(a, b)
+                oa = jnp.where(asc, mn, mx)
+                took = oa == b
+                ref[g, pl.ds(i * ch, ch), :] = oa
+                ref[g, pl.ds((i + dd) * ch, ch), :] = \
+                    jnp.where(asc, mx, mn)
+                for k2 in range(NPAY):
+                    dma(prefs[k2].at[g, pl.ds(i * ch, ch), :], stg[k2])
+                    dma(prefs[k2].at[g, pl.ds((i + dd) * ch, ch), :],
+                        stg[NPAY + k2])
+                    pa = stg[k2][...]
+                    pb = stg[NPAY + k2][...]
+                    stg[k2][...] = jnp.where(took, pb, pa)
+                    stg[NPAY + k2][...] = jnp.where(took, pa, pb)
+                    dma(stg[k2], prefs[k2].at[g, pl.ds(i * ch, ch), :])
+                    dma(stg[NPAY + k2],
+                        prefs[k2].at[g, pl.ds((i + dd) * ch, ch), :])
+                return carry
+
+            jax.lax.fori_loop(0, nch // 2, cross, 0)
+            dd //= 2
+
+        def intra(c, carry, m=m):
+            x = ref[g, pl.ds(c * ch, ch), :]
+            for k2 in range(NPAY):
+                dma(prefs[k2].at[g, pl.ds(c * ch, ch), :], stg[k2])
+            ps = tuple(stg[k2][...] for k2 in range(NPAY))
+            asc = _bcast(((c // m) & 1) == 0, ch)
+            for k in range(logch - 1, -1, -1):
+                x, ps = _exchange_p(x, ps, 1 << k, asc, iota)
+            ref[g, pl.ds(c * ch, ch), :] = x
+            for k2 in range(NPAY):
+                stg[k2][...] = ps[k2]
+                dma(stg[k2], prefs[k2].at[g, pl.ds(c * ch, ch), :])
+            return carry
+
+        jax.lax.fori_loop(0, nch, intra, 0)
+        m *= 2
+
+
 def _sort_ref(ref, g, NP: int):
     """Ascending bitonic sort of ref[g] ((NP,128) int32 rows) in place."""
     ch = min(CHUNK, NP)
@@ -304,7 +397,7 @@ def _sort_ref(ref, g, NP: int):
 
 def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
                  depth: int = 1, gaps2_only: bool = False,
-                 mlen_mode: bool = False):
+                 mlen_mode: bool = False, mlen_hbm: bool = False):
     """Dense hash16 candidates for one 128-lane group.
 
     Writes cand_ref rows p = (p << 16) | d16[p] (d16 in the low half —
@@ -321,7 +414,16 @@ def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
     64 KiB blocks).
     """
     pv32_ref = pw4_ref = pw8_ref = pbm1_ref = None
-    if mlen_mode:
+    stg = sem = None
+    if mlen_hbm:
+        # payload tapes in HBM (pl.ANY outputs); 8 staging chunks + sem
+        (mcode_ref, pv32_ref, pw4_ref, pw8_ref, pbm1_ref, dens_ref,
+         *stg_sem) = rest
+        stg = stg_sem[:8]
+        sem = stg_sem[8]
+        gaps_ref = None
+        mlen_mode = True
+    elif mlen_mode:
         mcode_ref, dens_ref, pv32_ref, pw4_ref, pw8_ref, pbm1_ref = rest
         gaps_ref = None
     elif depth > 1:
@@ -367,14 +469,32 @@ def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
                     | LK.shift_left_u(t3, 32 - 8 * f)
                 bm1 = LK.shift_right_u(tm, 8 * f) \
                     | LK.shift_left_u(t0, 32 - 8 * f)
-            pv32_ref[pl.ds(f * np4, np4), :] = v
-            pw4_ref[pl.ds(f * np4, np4), :] = w4
-            pw8_ref[pl.ds(f * np4, np4), :] = w8
-            pbm1_ref[pl.ds(f * np4, np4), :] = bm1
+            if mlen_hbm:
+                STGR = stg[0].shape[0]
+                for k2, val in enumerate((v, w4, w8, bm1)):
+                    pref = (pv32_ref, pw4_ref, pw8_ref, pbm1_ref)[k2]
+                    for sl in range(-(-np4 // STGR)):
+                        r0 = sl * STGR
+                        r1 = min(np4, r0 + STGR)
+                        stg[k2][pl.ds(0, r1 - r0), :] = val[r0:r1]
+                        cp = pltpu.make_async_copy(
+                            stg[k2].at[pl.ds(0, r1 - r0), :],
+                            pref.at[g, pl.ds(f * np4 + r0, r1 - r0), :],
+                            sem)
+                        cp.start()
+                        cp.wait()
+            else:
+                pv32_ref[pl.ds(f * np4, np4), :] = v
+                pw4_ref[pl.ds(f * np4, np4), :] = w4
+                pw8_ref[pl.ds(f * np4, np4), :] = w8
+                pbm1_ref[pl.ds(f * np4, np4), :] = bm1
 
     # ---- sort 1 by (hash16, pos): signed order groups buckets and
     # ascends by pos within them (the sign bit is constant per bucket) ----
-    if mlen_mode:
+    if mlen_hbm:
+        _sort_ref_hbm(cand_ref, (pv32_ref, pw4_ref, pw8_ref, pbm1_ref),
+                      stg, sem, g, NP)
+    elif mlen_mode:
         _sort_ref_p(cand_ref, (pv32_ref, pw4_ref, pw8_ref, pbm1_ref),
                     g, NP)
     else:
@@ -406,16 +526,32 @@ def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
         if mlen_mode:
             # exact verify + capped lcp/catch-up from the carried raw
             # words of this row and the previous (candidate) row
-            def prevrow(r):
-                cur = r[pl.ds(c * ch, ch), :]
-                pr8 = r[pl.ds(jnp.maximum(c * ch - 8, 0), 8), :]
-                return cur, jnp.concatenate([pr8[7:8], cur[:ch - 1]],
-                                            axis=0)
+            if mlen_hbm:
+                def prevrow(r, k2):
+                    cp = pltpu.make_async_copy(
+                        r.at[g, pl.ds(c * ch, ch), :], stg[k2], sem)
+                    cp.start()
+                    cp.wait()
+                    cp2 = pltpu.make_async_copy(
+                        r.at[g, pl.ds(jnp.maximum(c * ch - 8, 0), 8), :],
+                        stg[4 + k2].at[pl.ds(0, 8), :], sem)
+                    cp2.start()
+                    cp2.wait()
+                    cur = stg[k2][pl.ds(0, ch), :]
+                    pr8 = stg[4 + k2][pl.ds(0, 8), :]
+                    return cur, jnp.concatenate(
+                        [pr8[7:8], cur[:ch - 1]], axis=0)
+            else:
+                def prevrow(r, k2):
+                    cur = r[pl.ds(c * ch, ch), :]
+                    pr8 = r[pl.ds(jnp.maximum(c * ch - 8, 0), 8), :]
+                    return cur, jnp.concatenate(
+                        [pr8[7:8], cur[:ch - 1]], axis=0)
 
-            v32c, v32p = prevrow(pv32_ref)
-            w4c, w4p = prevrow(pw4_ref)
-            w8c, w8p = prevrow(pw8_ref)
-            bm1c, bm1p = prevrow(pbm1_ref)
+            v32c, v32p = prevrow(pv32_ref, 0)
+            w4c, w4p = prevrow(pw4_ref, 1)
+            w8c, w8p = prevrow(pw8_ref, 2)
+            bm1c, bm1p = prevrow(pbm1_ref, 3)
             vr = (v32c ^ v32p) == 0
             d16 = jnp.where(vr, d16, 0)
 
@@ -510,7 +646,8 @@ def _grid_fits(*buffers) -> bool:
 
 
 def _cand_call(tapes, nlane, NP: int, interpret: bool, depth: int = 1,
-               gaps2_only: bool = False, mlen_mode: bool = False):
+               gaps2_only: bool = False, mlen_mode: bool = False,
+               mlen_hbm: bool = False):
     """Small blocks run one multi-group grid; large blocks invoke per
     group (a multi-group grid double-buffers the 32 MB cand output and
     blows VMEM, while per-group output concats of SMALL pieces trigger
@@ -520,6 +657,48 @@ def _cand_call(tapes, nlane, NP: int, interpret: bool, depth: int = 1,
     exceeds the depth-3 two-tape level."""
     sw = tapes.shape[1]
     ng = tapes.shape[0]
+    if mlen_hbm:
+        # payload tapes live in HBM; invoke per group (the VMEM blocks
+        # are the two key/mcode tapes + staging)
+        def mk1():
+            return pl.pallas_call(
+                functools.partial(_cand_kernel, NP=NP, mlen_hbm=True),
+                grid=(1,),
+                in_specs=[
+                    pl.BlockSpec((1, sw, LANES), lambda g: (g, 0, 0)),
+                    pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, NP, LANES), lambda g: (g, 0, 0)),
+                    pl.BlockSpec((1, NP, LANES), lambda g: (g, 0, 0)),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((1, NP, LANES), jnp.int32),
+                    jax.ShapeDtypeStruct((1, NP, LANES), jnp.int32),
+                ] + [jax.ShapeDtypeStruct((1, NP, LANES), jnp.int32)
+                     for _ in range(4)] + [
+                    jax.ShapeDtypeStruct((1, 1, LANES), jnp.int32),
+                ],
+                scratch_shapes=[pltpu.VMEM((CHUNK, LANES), jnp.int32)
+                                for _ in range(8)]
+                + [pltpu.SemaphoreType.DMA(())],
+                interpret=interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=126 * 1024 * 1024),
+            )
+
+        call = mk1()
+        outs = [jax.lax.optimization_barrier(
+                    call(tapes[g:g + 1], nlane[g:g + 1]))
+                for g in range(ng)]
+        return jax.lax.optimization_barrier(tuple(
+            jnp.concatenate([o[k] for o in outs], axis=0)
+            for k in (0, 1, 6)))           # cand, mcode, dens
     ntapes = 2 if (depth > 1 or mlen_mode) else 1
     pay = 4 * NP if mlen_mode else 0
     grid_ng = ng if _grid_fits(sw, ntapes * NP + pay) else 1
@@ -1356,12 +1535,13 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
     if mlen_cand:
         # round-6 groundwork probe: verified candidates + exact capped
         # mlen/catch-up codes via the payload-carrying sort
-        # (golden.dense_mcode contract). VMEM payload tapes bound this
-        # to NP <= 16384 (<= 16 KiB blocks); the production 64 KiB path
-        # needs the HBM-chunked variant (docs/Performance.md round-5).
-        assert cand_only and np_ <= 16384, "mlen_cand: probe-only"
-        cand, mcode, dens = _cand_call(tapes, nlane, np_, interpret,
-                                       mlen_mode=True)
+        # (golden.dense_mcode contract). VMEM payload tapes serve
+        # NP <= 16384; larger blocks (the production 64 KiB shape) run
+        # the HBM-chunked variant (_sort_ref_hbm).
+        assert cand_only, "mlen_cand: probe-only"
+        cand, mcode, dens = _cand_call(
+            tapes, nlane, np_, interpret,
+            mlen_mode=np_ <= 16384, mlen_hbm=np_ > 16384)
         return cand, mcode, dens
     gaps2 = None
     if depth > 1:

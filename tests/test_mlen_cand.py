@@ -16,7 +16,12 @@ from lz4_sgori_tpu import golden
 BS = 8192
 
 
-@pytest.mark.parametrize("case", ["text", "mixed", "rle", "random"])
+@pytest.mark.parametrize("case", [
+    "text",
+    pytest.param("mixed", marks=pytest.mark.slow),
+    pytest.param("rle", marks=pytest.mark.slow),
+    pytest.param("random", marks=pytest.mark.slow),
+])
 def test_mlen_cand_parity(case):
     from lz4_sgori_tpu.ops.pallas.lockstep_enc3 import (
         compress_blocks_lockstep_enc3)
@@ -47,3 +52,33 @@ def test_mlen_cand_parity(case):
     for p in range(n):
         assert got_d[p] == want_d[p], (case, p, got_d[p], want_d[p])
         assert got_m[p] == want_m[p], (case, p, got_m[p], want_m[p])
+
+
+@pytest.mark.slow
+def test_mlen_cand_hbm_parity():
+    """The HBM-chunked payload sort (the production 64 KiB shape's
+    variant) against the same oracle — exercised at 32 KiB to keep the
+    interpret run tractable while still taking the NP > 16384 path."""
+    from lz4_sgori_tpu.ops.pallas.lockstep_enc3 import (
+        compress_blocks_lockstep_enc3)
+
+    bs = 32768
+    rng = np.random.RandomState(5)
+    lorem = (b"Lorem ipsum dolor sit amet, consectetur adipiscing "
+             b"elit, sed do eiusmod tempor incididunt ut labore. ")
+    data = ((lorem * 120)[:16000] + bytes(4096)
+            + rng.randint(0, 256, 4096).astype(np.uint8).tobytes()
+            + (b"seg" * 3000))[:bs]
+    raw = np.zeros((1, bs), np.uint8)
+    raw[0, :len(data)] = np.frombuffer(data, np.uint8)
+    rlen = np.array([len(data)], np.int32)
+    cand, mcode, dens = compress_blocks_lockstep_enc3(
+        raw, rlen, bs, interpret=True, cand_only=True, mlen_cand=True)
+    cand = np.asarray(cand)[0, :, 0]
+    mcode = np.asarray(mcode)[0, :, 0]
+    want_d, want_m = golden.dense_mcode(data)
+    bad = [(p, cand[p] & 0xFFFF, want_d[p], mcode[p] & 0xFFFF, want_m[p])
+           for p in range(len(data))
+           if (cand[p] & 0xFFFF) != want_d[p]
+           or (mcode[p] & 0xFFFF) != want_m[p]]
+    assert not bad, bad[:5]
