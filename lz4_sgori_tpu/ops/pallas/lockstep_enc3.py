@@ -753,7 +753,7 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
                  wok: bool = True, depth: int = 1, gandw=None,
                  wb2=None, wb3=None, wbb1=None, wbb2=None, wbb3=None,
                  gandw2=None, wb4=None, wb5=None, wbb4=None, wbb5=None,
-                 seg_lims=None, lane_ok=None):
+                 seg_lims=None, lane_ok=None, mlen: bool = False):
     """Advance every live lane one step of its mode.
 
     Operands loaded by the round wrapper (banded, gated, per round):
@@ -802,8 +802,11 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
     g_ext = (mode == EXT) & wok
     if lane_ok is not None:
         # far-deferred service: unserved lanes park in their window
-        # mode this round (their wb span is excluded from the walk)
-        g_vfy = g_vfy & lane_ok
+        # mode this round (their wb span is excluded from the walk).
+        # Under mlen the VFY round is window-free arithmetic (the
+        # mcode precompute) and is never deferred.
+        if not mlen:
+            g_vfy = g_vfy & lane_ok
         g_prep = g_prep & lane_ok
         g_ext = g_ext & lane_ok
 
@@ -861,6 +864,13 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
     gp = st["gp"] if depth > 1 else None
     dnx = st["dnx"] if depth > 1 else None
     gnx = st["gnx"] if depth > 1 else None
+    mcd = st["mcd"] if mlen else None
+    if mlen:
+        selg_m = jnp.sum(jnp.where(selrow, gandw, 0), axis=0,
+                         keepdims=True)
+        hit_m = jnp.where(hit_lo_half, selg_m & 0xFFFF,
+                          LK.shift_right_u(selg_m, 16))
+        mcd = jnp.where(srch_hit, hit_m, mcd)
     if depth > 1:
         selg = jnp.sum(jnp.where(selrow, gandw, 0), axis=0, keepdims=True)
         hit_g = jnp.where(hit_lo_half, selg & 0xFFFF,
@@ -1019,19 +1029,33 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
         d = jnp.where(g_vfy & anyok, dwin, d)
         mpos = jnp.where(g_vfy & anyok, pos - dwin, mpos)
     rb0 = _r32(wb, 16)
-    vfy_ok = g_vfy & (ra0 == rb0)
-    vfy_fail = g_vfy & (ra0 != rb0)
+    if mlen:
+        # every surviving candidate is pass-1 verified (vr-zeroed d16),
+        # and catch-up/length come from the mcode — no wb read here
+        lcp_m = LK.shift_right_u(mcd, 1) & 15
+        cu_m = LK.shift_right_u(mcd, 6) & 7
+        vfy_ok = g_vfy
+        vfy_fail = g_vfy & (mcd < 0)         # never (mcd is 9 bits)
+    else:
+        vfy_ok = g_vfy & (ra0 == rb0)
+        vfy_fail = g_vfy & (ra0 != rb0)
     # hash16 false positive: the read32 check fails and the schedule
     # continues seamlessly (state already replayed past it)
     mode = jnp.where(vfy_fail, SRCH, mode)
 
     cu = vfy_ok | g_prep
     tc = _trail_eq16(wa, wb)
-    delta = jnp.where(cu, jnp.minimum(jnp.minimum(tc, pos - anchor),
+    if mlen:
+        capd = jnp.where(g_vfy, cu_m, tc)
+        full_cap = jnp.where(g_vfy, 4, 16)
+    else:
+        capd = tc
+        full_cap = 16
+    delta = jnp.where(cu, jnp.minimum(jnp.minimum(capd, pos - anchor),
                                       mpos - mlo), 0)
     pos = pos - delta
     mpos = mpos - delta
-    cu_more = cu & (delta == 16) & (pos > anchor) & (mpos > mlo)
+    cu_more = cu & (delta == full_cap) & (pos > anchor) & (mpos > mlo)
 
     ext_now = (cu & ~cu_more) | g_ext
     t_off = jnp.where(g_ext, 0, 20 - delta)
@@ -1042,6 +1066,15 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
                      jnp.minimum(4 * (CAPW - 3),
                                  4 * CAPW - t_off - 3
                                  - defer.astype(jnp.int32)))
+    if mlen:
+        # exact equal-run from pos+MINMATCH = delta + lcp (the mcode's
+        # capped forward length); span chosen so the downstream
+        # le >= span test reads "maybe longer" exactly when lcp hit
+        # its 8-byte cap
+        le = jnp.where(g_vfy, delta + lcp_m, le)
+        span = jnp.where(g_vfy,
+                         delta + jnp.where(lcp_m == 8, 8, lcp_m + 1),
+                         span)
     cl = matchlimit - (pos + F.MINMATCH)
     mc = jnp.where(ext_now & ~g_ext, 0, mc)
     add = jnp.minimum(jnp.minimum(le, span), cl - mc)
@@ -1178,6 +1211,8 @@ def _parse_round(st, stag, fl, wa, wb, candw, candb, n, accel: int,
         st2["m1"] = jnp.where(rec, mc, st["m1"])
         st2["frag"] = jnp.where(seq_end, 0, st["frag"])
         st2["hasm"] = st["hasm"] | seq_end.astype(jnp.int32)
+    if mlen:
+        st2["mcd"] = mcd
     if depth > 1:
         st2["gp"] = gp
         st2["dnx"] = dnx
@@ -1193,6 +1228,7 @@ def _parse_kernel(src_ref, cand_ref, gaps_ref, gaps2_ref, n_ref, out_ref,
                   SW: int, CPR: int, OR: int, accel: int, unroll: int = 2,
                   wb_band: int = 64, depth: int = 1, seg_w: int = 0,
                   far_every: int = 0, near_lim: int = 4096,
+                  mlen: bool = False,
                   debug_rounds: bool = False, debug_modes: bool = False):
     if seg_w:
         p1_ref, m1_ref = rest[0], rest[1]
@@ -1233,6 +1269,8 @@ def _parse_kernel(src_ref, cand_ref, gaps_ref, gaps2_ref, n_ref, out_ref,
                   smn=z + (accel << F.SKIPTRIGGER),
                   anchor=z, mpos=z, mc=z, lit=z, d=z, opos=z,
                   hk=z, ldone=z, tpos=z, nseq=z, rounds=z)
+    if mlen:
+        st["mcd"] = z
     if depth > 1:
         st["gp"] = z
         st["dnx"] = z
@@ -1270,6 +1308,7 @@ def _parse_kernel(src_ref, cand_ref, gaps_ref, gaps2_ref, n_ref, out_ref,
         # lanes would stall that search every time (measured: the u=2
         # alternation never engaged, 2 wrapper rounds per sequence)
         g_pre = g_srch | g_ab | (mode == EMIT)
+        g_wb = ((mode == PREP) | (mode == EXT)) if mlen else g_ab
         if far_every > 1:
             # far-offset lanes are served every far_every-th round: the
             # match-side walk's span is the union across lanes, so ONE
@@ -1277,10 +1316,10 @@ def _parse_kernel(src_ref, cand_ref, gaps_ref, gaps2_ref, n_ref, out_ref,
             # every round (offsets are heavy-tailed)
             served = (st["d"] <= near_lim) \
                 | ((st["rounds"] % far_every) == 0)
-            g_abs = g_ab & served
+            g_abs = g_wb & served
         else:
             served = None
-            g_abs = g_ab
+            g_abs = g_wb
         r_need = g_pre & ((st["fpos"] < candb)
                           | (st["fpos"] - candb >= WPOS - 3 * K1))
         f_need = live & (st["opos"] + margin > fl * 4 + rspan)
@@ -1323,7 +1362,7 @@ def _parse_kernel(src_ref, cand_ref, gaps_ref, gaps2_ref, n_ref, out_ref,
             candw_ref[...] = extract_rows_banded(
                 cand_ref, g, crb, LCP, CPR, bounds=(c_lo, c_hi))
             candb_ref[...] = cb_new
-            if depth > 1:
+            if depth > 1 or mlen:
                 gandw_ref[...] = extract_rows_banded(
                     gaps_ref, g, crb, LCP, CPR, bounds=(c_lo, c_hi))
             if depth > 3:
@@ -1405,8 +1444,8 @@ def _parse_kernel(src_ref, cand_ref, gaps_ref, gaps2_ref, n_ref, out_ref,
             st2, stag = _parse_round(
                 st2, stag, fl2, wa_ref[...], wb_ref[...],
                 candw_ref[...], candb_ref[...], n, accel,
-                wok=(u == 0), depth=depth,
-                gandw=gandw_ref[...] if depth > 1 else None,
+                wok=(u == 0), depth=depth, mlen=mlen,
+                gandw=gandw_ref[...] if (depth > 1 or mlen) else None,
                 wb2=wb2_ref[...] if depth > 1 else None,
                 wb3=wb3_ref[...] if depth > 1 else None,
                 wbb1=wbb1_ref[...] if depth > 1 else None,
@@ -1768,12 +1807,12 @@ def _piecewise_cand(rawm, raw_len, block_size: int, depth: int,
                                     "depth", "debug_rounds", "stage",
                                     "far_every", "near_lim",
                                     "return_nseq", "debug_modes",
-                                    "group_sort", "seg_nseq"))
+                                    "group_sort", "seg_nseq", "mlen"))
 def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
                                  seg: int = 4096, window: int = 65536,
                                  accel: int = 1, interpret: bool = False,
                                  unroll: int = 2, wb_band: int = 64,
-                                 depth: int = 1,
+                                 depth: int = 1, mlen: bool = False,
                                  debug_rounds: bool = False,
                                  debug_modes: bool = False,
                                  stage: str = "all",
@@ -1856,7 +1895,15 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
         tapes1 = jnp.pad(tapes1,
                          ((0, 0), (0, sw1 - tapes1.shape[1]), (0, 0)))
         nlane1 = gl.reshape(ng1, 1, LANES)
-        if depth > 1:
+        if mlen:
+            # wb-elimination mode: verified candidates + mcode tape
+            # (exact capped mlen/catch-up) from the payload-carrying
+            # sort; the parse then runs VFY as pure arithmetic
+            assert depth == 1, "mlen is a greedy-path mode"
+            cand, gaps, _dens = _cand_call(
+                tapes1, nlane1, np_, interpret,
+                mlen_mode=np_ <= 16384, mlen_hbm=np_ > 16384)
+        elif depth > 1:
             cand, gaps, _dens = _cand_call(tapes1, nlane1, np_, interpret,
                                            depth=depth)
         else:
@@ -1866,13 +1913,15 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
     # ---- re-layout candidates to segment lanes ----
     ng2 = ng1 * nseg                 # 128 segments per parse group
 
-    def _flat_rows(tape):
+    def _flat_rows(tape, dist=True):
         """(ng1, NP, 128) position-ordered rows -> (nb1*nseg, seg)
-        payload halfwords, row b*nseg + k = segment k of block b."""
+        payload halfwords, row b*nseg + k = segment k of block b.
+        dist: the halfword is a match DISTANCE (window-filtered);
+        False for code payloads (the mcode tape)."""
         outs = []
         for g in range(ng1):
             v = tape[g] & 0xFFFF                     # payload halfword
-            if window < 65536:
+            if window < 65536 and dist:
                 # drop candidates beyond the per-lane tape window (the
                 # -64 guard keeps every banded window read in-tape)
                 v = jnp.where(v > window - 64, 0, v)
@@ -1921,9 +1970,9 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
         order = inv = None
     candseg = _group_pack(candflat, order)
     cpr = seg // 2
-    if depth > 1:
+    if depth > 1 or mlen:
         gflat = gaps_bm.reshape(nb1 * nseg, seg) if big else \
-            _flat_rows(gaps)
+            _flat_rows(gaps, dist=not mlen)
         gapseg = _group_pack(gflat, order)
     else:
         gapseg = jnp.zeros((ng2, 8, LANES), jnp.int32)
@@ -1989,7 +2038,7 @@ def compress_blocks_lockstep_seg(raw, raw_len, block_size: int,
     parse_call = pl.pallas_call(
         functools.partial(_parse_kernel, SW=sw, CPR=cpr, OR=orr,
                           accel=accel, unroll=unroll, wb_band=wb_band,
-                          depth=depth, seg_w=window,
+                          depth=depth, seg_w=window, mlen=mlen,
                           far_every=far_every, near_lim=near_lim,
                           debug_rounds=debug_rounds,
                           debug_modes=debug_modes),

@@ -82,3 +82,45 @@ def test_mlen_cand_hbm_parity():
            if (cand[p] & 0xFFFF) != want_d[p]
            or (mcode[p] & 0xFFFF) != want_m[p]]
     assert not bad, bad[:5]
+
+
+@pytest.mark.slow
+def test_mlen_parse_byte_parity_seg():
+    """The wb-free parse (mlen=True) must produce byte-identical output
+    to the window-verify parse and the golden oracle — catch-up re-cap
+    at 4 with PREP continuation, lcp cap at 12 with EXT continuation,
+    and vr-zeroed candidates are all parse-neutral by construction."""
+    from lz4_sgori_tpu.ops.pallas.lockstep_enc3 import (
+        compress_blocks_lockstep_seg)
+
+    bs, sg, w = 4096, 512, 4096
+    rng = np.random.RandomState(77)
+    lorem = (b"Lorem ipsum dolor sit amet, consectetur adipiscing "
+             b"elit, sed do eiusmod tempor incididunt ut labore. ")
+    blocks = [
+        (lorem * 40)[:bs],
+        bytes(1000) + rng.randint(0, 256, 2000).astype(
+            np.uint8).tobytes() + (b"ab" * 600)[:1096],
+        b"abcabcabcabcabcabc",
+        bytes(bs),
+        (b"x" * 511 + b"Q") * 8,          # matches crossing seg starts
+        (b"Q" * 37 + b"R" * 3) * 100,     # catch-up exercise
+    ]
+    raw = np.zeros((len(blocks), bs), np.uint8)
+    rlen = np.zeros(len(blocks), np.int32)
+    for i, b in enumerate(blocks):
+        raw[i, :len(b)] = np.frombuffer(b, np.uint8)
+        rlen[i] = len(b)
+    base = compress_blocks_lockstep_seg(
+        raw, rlen, bs, seg=sg, window=w, interpret=True)
+    fast = compress_blocks_lockstep_seg(
+        raw, rlen, bs, seg=sg, window=w, interpret=True, mlen=True)
+    cb, lb, eb = map(np.asarray, base)
+    cf, lf, ef = map(np.asarray, fast)
+    assert not eb.any() and not ef.any()
+    for i, b in enumerate(blocks):
+        got_b = cb[i, :lb[i]].tobytes()
+        got_f = cf[i, :lf[i]].tobytes()
+        assert got_f == got_b, (i, len(got_f), len(got_b))
+        want = golden.compress_dense_seg(b, seg=sg, window=w)
+        assert got_f == want, i

@@ -52,6 +52,8 @@ def main():
     nl = os.environ.get("SEG_NEAR_LIM")
     if nl:
         kw["near_lim"] = int(nl)
+    if os.environ.get("SEG_MLEN") == "1":
+        kw["mlen"] = True
     ur = os.environ.get("SEG_UNROLL")
     if ur:
         kw["unroll"] = int(ur)
