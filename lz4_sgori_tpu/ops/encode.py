@@ -330,19 +330,29 @@ def compress_blocks_seg_dispatch(raw, raw_len, block_size: int,
     """TPU segmented-lane engine (enc3 seg mode): blocks spread across
     block_size/seg lanes, byte-exact to golden.compress_dense_seg.
 
+    LZ4J_ENC_MLEN=1 opts the greedy <= 64 KiB path into the wb-free
+    parse (pass-1 mlen precompute; byte-identical — see
+    docs/Performance.md round-5). Env-gated until the hardware timing
+    lands; flip to default once measured faster.
+
     err (kernel non-convergence — a bug backstop — or an assembled
     block past COMPRESSBOUND, the reference's limited-output condition,
     lz4e_compress.c:358-363) folds into comp_len == 0 for the framing
     layer's verify/fallback."""
+    import os
+
     from .pallas.lockstep_enc3 import compress_blocks_lockstep_seg
+    mlen = (os.environ.get("LZ4J_ENC_MLEN") == "1" and depth == 1
+            and block_size <= 65536)
     if return_nseq:
         comp, comp_len, err, nseq = compress_blocks_lockstep_seg(
             raw, raw_len, block_size, seg=seg, accel=acceleration,
-            depth=depth, return_nseq=True)
+            depth=depth, mlen=mlen, return_nseq=True)
         comp_len = jnp.where(err, 0, comp_len)
         return comp, comp_len, nseq
     comp, comp_len, err = compress_blocks_lockstep_seg(
-        raw, raw_len, block_size, seg=seg, accel=acceleration, depth=depth)
+        raw, raw_len, block_size, seg=seg, accel=acceleration,
+        depth=depth, mlen=mlen)
     comp_len = jnp.where(err, 0, comp_len)
     return comp, comp_len
 
