@@ -124,3 +124,30 @@ def test_mlen_parse_byte_parity_seg():
         assert got_f == got_b, (i, len(got_f), len(got_b))
         want = golden.compress_dense_seg(b, seg=sg, window=w)
         assert got_f == want, i
+
+
+def test_env_hook_routes_mlen(monkeypatch):
+    """LZ4J_ENC_MLEN=1 flips the seg dispatch into the wb-free parse
+    (greedy <= 64 KiB only)."""
+    from lz4_sgori_tpu.ops import encode as enc
+    from lz4_sgori_tpu.ops.pallas import lockstep_enc3 as E
+
+    seen = {}
+    real = E.compress_blocks_lockstep_seg
+
+    def spy(raw, raw_len, block_size, **kw):
+        seen["mlen"] = kw.get("mlen", False)
+        seen["depth"] = kw.get("depth")
+        return real(raw, raw_len, block_size, **kw)
+
+    monkeypatch.setattr(enc, "compress_blocks_lockstep_seg", spy)
+    monkeypatch.setenv("LZ4J_ENC_MLEN", "1")
+    raw = np.zeros((1, 8192), np.uint8)
+    raw[0, :40] = np.frombuffer(b"hello world hello world hello vorld hell",
+                                np.uint8)
+    rlen = np.array([8192], np.int32)
+    enc.compress_blocks_seg_dispatch(raw, rlen, 8192)
+    assert seen["mlen"] is True
+    monkeypatch.setenv("LZ4J_ENC_MLEN", "0")
+    enc.compress_blocks_seg_dispatch(raw, rlen, 8192, depth=3)
+    assert seen["mlen"] is False
