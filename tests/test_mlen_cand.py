@@ -105,6 +105,8 @@ def test_mlen_parse_byte_parity_seg():
         bytes(bs),
         (b"x" * 511 + b"Q") * 8,          # matches crossing seg starts
         (b"Q" * 37 + b"R" * 3) * 100,     # catch-up exercise
+        b"",                              # empty block
+        b"tiny",                          # < MIN_LENGTH
     ]
     raw = np.zeros((len(blocks), bs), np.uint8)
     rlen = np.zeros(len(blocks), np.int32)
