@@ -142,7 +142,7 @@ def test_env_hook_routes_mlen(monkeypatch):
         seen["depth"] = kw.get("depth")
         return real(raw, raw_len, block_size, **kw)
 
-    monkeypatch.setattr(enc, "compress_blocks_lockstep_seg", spy)
+    monkeypatch.setattr(E, "compress_blocks_lockstep_seg", spy)
     monkeypatch.setenv("LZ4J_ENC_MLEN", "1")
     raw = np.zeros((1, 8192), np.uint8)
     raw[0, :40] = np.frombuffer(b"hello world hello world hello vorld hell",
