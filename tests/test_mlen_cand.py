@@ -135,12 +135,16 @@ def test_env_hook_routes_mlen(monkeypatch):
     from lz4_sgori_tpu.ops.pallas import lockstep_enc3 as E
 
     seen = {}
-    real = E.compress_blocks_lockstep_seg
 
     def spy(raw, raw_len, block_size, **kw):
         seen["mlen"] = kw.get("mlen", False)
         seen["depth"] = kw.get("depth")
-        return real(raw, raw_len, block_size, **kw)
+        nb = raw.shape[0]
+        comp = np.zeros((nb, 64), np.uint8)
+        cl = np.zeros(nb, np.int32)
+        if kw.get("return_nseq"):
+            return comp, cl, np.zeros(nb, bool), cl
+        return comp, cl, np.zeros(nb, bool)
 
     monkeypatch.setattr(E, "compress_blocks_lockstep_seg", spy)
     monkeypatch.setenv("LZ4J_ENC_MLEN", "1")
