@@ -1518,7 +1518,7 @@ def _permute_blocks(x, order, chunk: int = 2048):
                    static_argnames=("block_size", "accel", "interpret",
                                     "group_sort", "unroll", "debug_rounds",
                                     "debug_modes", "cand_only",
-                                    "mlen_cand",
+                                    "mlen_cand", "mlen",
                                     "return_tails", "return_nseq",
                                     "wb_band", "depth"))
 def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
@@ -1530,6 +1530,7 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
                                   debug_modes: bool = False,
                                   cand_only: bool = False,
                                   mlen_cand: bool = False,
+                                  mlen: bool = False,
                                   return_tails: bool = False,
                                   return_nseq: bool = False,
                                   wb_band: int = 64,
@@ -1583,7 +1584,12 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
             mlen_mode=np_ <= 16384, mlen_hbm=np_ > 16384)
         return cand, mcode, dens
     gaps2 = None
-    if depth > 1:
+    if mlen:
+        assert depth == 1, "mlen is a greedy-path mode"
+        cand, gaps, dens = _cand_call(
+            tapes, nlane, np_, interpret,
+            mlen_mode=np_ <= 16384, mlen_hbm=np_ > 16384)
+    elif depth > 1:
         cand, gaps, dens = _cand_call(tapes, nlane, np_, interpret,
                                       depth=depth)
         if depth > 3:
@@ -1599,7 +1605,7 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
     # row per position) — halving its rows halves those bytes
     cand = _pack_cand(cand)
     cpr = np_ // 2
-    gaps = _pack_cand(gaps) if depth > 1 else \
+    gaps = _pack_cand(gaps) if (depth > 1 or mlen) else \
         jnp.zeros((ng, 8, LANES), jnp.int32)
     gaps2 = _pack_cand(gaps2) if depth > 3 else \
         jnp.zeros((ng, 8, LANES), jnp.int32)
@@ -1611,7 +1617,7 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
         inv = jnp.argsort(order)
         tapes = _permute_blocks(tapes, order)
         cand = _permute_blocks(cand, order)
-        if depth > 1:
+        if depth > 1 or mlen:
             gaps = _permute_blocks(gaps, order)
         if depth > 3:
             gaps2 = _permute_blocks(gaps2, order)
@@ -1633,7 +1639,8 @@ def compress_blocks_lockstep_enc3(raw, raw_len, block_size: int,
     parse_call = pl.pallas_call(
         functools.partial(_parse_kernel, SW=sw, CPR=cpr, OR=orr,
                           accel=accel, unroll=unroll, wb_band=wb_band,
-                          depth=depth, debug_rounds=debug_rounds,
+                          depth=depth, mlen=mlen,
+                          debug_rounds=debug_rounds,
                           debug_modes=debug_modes),
         grid=(grid_ng,),
         in_specs=[

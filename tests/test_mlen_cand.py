@@ -157,3 +157,37 @@ def test_env_hook_routes_mlen(monkeypatch):
     monkeypatch.setenv("LZ4J_ENC_MLEN", "0")
     enc.compress_blocks_seg_dispatch(raw, rlen, 8192, depth=3)
     assert seen["mlen"] is False
+
+
+@pytest.mark.slow
+def test_mlen_parse_byte_parity_enc3():
+    """The wb-free parse on the block-per-lane engine (the < 8 KiB
+    band): mlen on == off == golden.compress_dense."""
+    from lz4_sgori_tpu.ops.pallas.lockstep_enc3 import (
+        compress_blocks_lockstep_enc3)
+
+    bs = 4096
+    rng = np.random.RandomState(9)
+    lorem = (b"Lorem ipsum dolor sit amet, consectetur adipiscing "
+             b"elit, sed do eiusmod tempor incididunt ut labore. ")
+    blocks = [
+        (lorem * 40)[:bs],
+        bytes(bs),
+        rng.randint(0, 256, bs).astype(np.uint8).tobytes(),
+        (b"Q" * 37 + b"R" * 3) * 50,
+        b"",
+    ]
+    raw = np.zeros((len(blocks), bs), np.uint8)
+    rlen = np.zeros(len(blocks), np.int32)
+    for i, b in enumerate(blocks):
+        raw[i, :len(b)] = np.frombuffer(b, np.uint8)
+        rlen[i] = len(b)
+    base = compress_blocks_lockstep_enc3(raw, rlen, bs, interpret=True)
+    fast = compress_blocks_lockstep_enc3(raw, rlen, bs, interpret=True,
+                                         mlen=True)
+    cb, lb, eb = map(np.asarray, base[:3])
+    cf, lf, ef = map(np.asarray, fast[:3])
+    assert not eb.any() and not ef.any()
+    for i, b in enumerate(blocks):
+        assert cf[i, :lf[i]].tobytes() == cb[i, :lb[i]].tobytes(), i
+        assert cf[i, :lf[i]].tobytes() == golden.compress_dense(b), i
