@@ -416,12 +416,17 @@ def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
     pv32_ref = pw4_ref = pw8_ref = pbm1_ref = None
     stg = sem = None
     if mlen_hbm:
-        # payload tapes in HBM (pl.ANY outputs); 8 staging chunks + sem
-        (mcode_ref, pv32_ref, pw4_ref, pw8_ref, pbm1_ref, dens_ref,
+        # payload tapes in HBM (pl.ANY outputs); 8 staging chunks + sem.
+        # There is no separate VMEM mcode tape: d16 writes the mcode
+        # words into pv32 (dead after verification) and sort 2 carries
+        # them as the payload of the cand sort — a 32 MB VMEM window
+        # and a full NP-row bitonic sort cheaper than the in-VMEM
+        # variant's independent mcode sort (the r5 VMEM OOM fix).
+        (pv32_ref, pw4_ref, pw8_ref, pbm1_ref, dens_ref,
          *stg_sem) = rest
         stg = stg_sem[:8]
         sem = stg_sem[8]
-        gaps_ref = None
+        gaps_ref = mcode_ref = None
         mlen_mode = True
     elif mlen_mode:
         mcode_ref, dens_ref, pv32_ref, pw4_ref, pw8_ref, pbm1_ref = rest
@@ -438,10 +443,57 @@ def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
 
     # ---- keys: hash16(v32(p)) << 16 | p, one phase tape per byte lane;
     # row order before sort 1 is irrelevant (pos is in the key) ----
-    t0 = src_ref[g, 0:np4, :]
-    t1 = src_ref[g, 1:np4 + 1, :]
+    if mlen_hbm:
+        # Chunk-wise generation: whole-np4 values at 64 KiB blocks are
+        # 8 MB EACH and ~10 are live through the phase loop — measured
+        # 100.8 MB of register-allocator spill slots on hardware (the
+        # r5 VMEM OOM). Slicing the reads bounds every live value to
+        # one staging chunk (2 MB).
+        STGR = stg[0].shape[0]
+        nsl = -(-np4 // STGR)
+        for f in range(4):
+            for sl in range(nsl):
+                r0 = sl * STGR
+                r1 = min(np4, r0 + STGR)
+                m_ = r1 - r0
+                a0 = src_ref[g, r0:r1, :]
+                a1 = src_ref[g, r0 + 1:r1 + 1, :]
+                a2 = src_ref[g, r0 + 2:r1 + 2, :]
+                a3 = src_ref[g, r0 + 3:r1 + 3, :]
+                if r0 == 0:
+                    am = jnp.concatenate(
+                        [jnp.zeros((1, LANES), jnp.int32),
+                         src_ref[g, 0:r1 - 1, :]], axis=0)
+                else:
+                    am = src_ref[g, r0 - 1:r1 - 1, :]
+                if f == 0:
+                    v, w4, w8, bm1 = a0, a1, a2, am
+                else:
+                    v = LK.shift_right_u(a0, 8 * f) \
+                        | LK.shift_left_u(a1, 32 - 8 * f)
+                    w4 = LK.shift_right_u(a1, 8 * f) \
+                        | LK.shift_left_u(a2, 32 - 8 * f)
+                    w8 = LK.shift_right_u(a2, 8 * f) \
+                        | LK.shift_left_u(a3, 32 - 8 * f)
+                    bm1 = LK.shift_right_u(am, 8 * f) \
+                        | LK.shift_left_u(a0, 32 - 8 * f)
+                h16 = LK.shift_right_u(v * _HASH4_MUL, 32 - HASHLOG)
+                cand_ref[g, pl.ds(f * np4 + r0, m_), :] = \
+                    LK.shift_left_u(h16, 16) \
+                    | ((_iota_rows(m_) + r0) * 4 + f)
+                for k2, val in enumerate((v, w4, w8, bm1)):
+                    pref = (pv32_ref, pw4_ref, pw8_ref, pbm1_ref)[k2]
+                    stg[k2][pl.ds(0, m_), :] = val
+                    cp = pltpu.make_async_copy(
+                        stg[k2].at[pl.ds(0, m_), :],
+                        pref.at[g, pl.ds(f * np4 + r0, m_), :], sem)
+                    cp.start()
+                    cp.wait()
+    else:
+        t0 = src_ref[g, 0:np4, :]
+        t1 = src_ref[g, 1:np4 + 1, :]
     i4 = _iota_rows(np4) * 4
-    if mlen_mode:
+    if mlen_mode and not mlen_hbm:
         # payload tapes in the SAME phase-row order as the keys: the
         # sort permutes them identically. v32(p), w32(p+4), w32(p+8),
         # and w32(p-4) — the raw words of the round-5 exact capped
@@ -451,7 +503,7 @@ def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
         tm = jnp.concatenate(
             [jnp.zeros((1, LANES), jnp.int32), src_ref[g, 0:np4 - 1, :]],
             axis=0)
-    for f in range(4):
+    for f in range(0 if mlen_hbm else 4):
         if f == 0:
             v = t0
         else:
@@ -469,25 +521,10 @@ def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
                     | LK.shift_left_u(t3, 32 - 8 * f)
                 bm1 = LK.shift_right_u(tm, 8 * f) \
                     | LK.shift_left_u(t0, 32 - 8 * f)
-            if mlen_hbm:
-                STGR = stg[0].shape[0]
-                for k2, val in enumerate((v, w4, w8, bm1)):
-                    pref = (pv32_ref, pw4_ref, pw8_ref, pbm1_ref)[k2]
-                    for sl in range(-(-np4 // STGR)):
-                        r0 = sl * STGR
-                        r1 = min(np4, r0 + STGR)
-                        stg[k2][pl.ds(0, r1 - r0), :] = val[r0:r1]
-                        cp = pltpu.make_async_copy(
-                            stg[k2].at[pl.ds(0, r1 - r0), :],
-                            pref.at[g, pl.ds(f * np4 + r0, r1 - r0), :],
-                            sem)
-                        cp.start()
-                        cp.wait()
-            else:
-                pv32_ref[pl.ds(f * np4, np4), :] = v
-                pw4_ref[pl.ds(f * np4, np4), :] = w4
-                pw8_ref[pl.ds(f * np4, np4), :] = w8
-                pbm1_ref[pl.ds(f * np4, np4), :] = bm1
+            pv32_ref[pl.ds(f * np4, np4), :] = v
+            pw4_ref[pl.ds(f * np4, np4), :] = w4
+            pw8_ref[pl.ds(f * np4, np4), :] = w8
+            pbm1_ref[pl.ds(f * np4, np4), :] = bm1
 
     # ---- sort 1 by (hash16, pos): signed order groups buckets and
     # ascends by pos within them (the sign bit is constant per bucket) ----
@@ -575,8 +612,21 @@ def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
                 | LK.shift_left_u((cu == 4).astype(jnp.int32), 5) \
                 | LK.shift_left_u(cu, 6)
             mcode = jnp.where(d16 != 0, mcode, 0)
-            mcode_ref[g, pl.ds(c * ch, ch), :] = \
-                (LK.shift_left_u(pos, 16) | mcode) ^ jnp.int32(-0x80000000)
+            if mlen_hbm:
+                # write UNBIASED into the dead pv32 rows (chunks walk
+                # high-to-low; rows >= c*ch are never read again):
+                # sort 2 carries these as payload, so no key bias and
+                # no unbias pass are needed
+                stg[0][pl.ds(0, ch), :] = LK.shift_left_u(pos, 16) | mcode
+                cp = pltpu.make_async_copy(
+                    stg[0].at[pl.ds(0, ch), :],
+                    pv32_ref.at[g, pl.ds(c * ch, ch), :], sem)
+                cp.start()
+                cp.wait()
+            else:
+                mcode_ref[g, pl.ds(c * ch, ch), :] = \
+                    (LK.shift_left_u(pos, 16) | mcode) \
+                    ^ jnp.int32(-0x80000000)
         if depth > 1 or gaps2_only:
             prev2 = jnp.concatenate([pr8[6:8], x[:ch - 2]], axis=0)
             prev3 = jnp.concatenate([pr8[5:8], x[:ch - 3]], axis=0)
@@ -616,8 +666,13 @@ def _cand_kernel(src_ref, n_ref, cand_ref, *rest, NP: int,
     jax.lax.fori_loop(0, nch, d16_body, 0)
 
     # ---- sort 2 by pos, then unbias + density ----
-    _sort_ref(cand_ref, g, NP)
-    if depth > 1 or mlen_mode:
+    if mlen_hbm:
+        # cand sort carries the (HBM) mcode tape as payload: rows land
+        # pos-ordered without a second full bitonic network
+        _sort_ref_hbm(cand_ref, (pv32_ref,), stg, sem, g, NP)
+    else:
+        _sort_ref(cand_ref, g, NP)
+    if (depth > 1 or mlen_mode) and not mlen_hbm:
         second_ref = mcode_ref if mlen_mode else gaps_ref
         _sort_ref(second_ref, g, NP)
 
@@ -659,7 +714,7 @@ def _cand_call(tapes, nlane, NP: int, interpret: bool, depth: int = 1,
     ng = tapes.shape[0]
     if mlen_hbm:
         # payload tapes live in HBM; invoke per group (the VMEM blocks
-        # are the two key/mcode tapes + staging)
+        # are the cand tape + staging; mcode rides the pv32 HBM tape)
         def mk1():
             return pl.pallas_call(
                 functools.partial(_cand_kernel, NP=NP, mlen_hbm=True),
@@ -670,7 +725,6 @@ def _cand_call(tapes, nlane, NP: int, interpret: bool, depth: int = 1,
                 ],
                 out_specs=[
                     pl.BlockSpec((1, NP, LANES), lambda g: (g, 0, 0)),
-                    pl.BlockSpec((1, NP, LANES), lambda g: (g, 0, 0)),
                     pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(memory_space=pl.ANY),
@@ -678,7 +732,6 @@ def _cand_call(tapes, nlane, NP: int, interpret: bool, depth: int = 1,
                     pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0)),
                 ],
                 out_shape=[
-                    jax.ShapeDtypeStruct((1, NP, LANES), jnp.int32),
                     jax.ShapeDtypeStruct((1, NP, LANES), jnp.int32),
                 ] + [jax.ShapeDtypeStruct((1, NP, LANES), jnp.int32)
                      for _ in range(4)] + [
@@ -698,7 +751,7 @@ def _cand_call(tapes, nlane, NP: int, interpret: bool, depth: int = 1,
                 for g in range(ng)]
         return jax.lax.optimization_barrier(tuple(
             jnp.concatenate([o[k] for o in outs], axis=0)
-            for k in (0, 1, 6)))           # cand, mcode, dens
+            for k in (0, 1, 5)))           # cand, mcode (pv32), dens
     ntapes = 2 if (depth > 1 or mlen_mode) else 1
     pay = 4 * NP if mlen_mode else 0
     grid_ng = ng if _grid_fits(sw, ntapes * NP + pay) else 1
